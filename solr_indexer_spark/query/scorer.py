@@ -1,0 +1,76 @@
+"""Exact-join BM25 scorer — the correct-but-simple baseline query path.
+
+The Spark restatement of the reference's search flow
+(solrindexer/search.py:211-237: q → Solr BM25 rank → top-``rows``):
+
+    queries → tokenize → ⋈ term_stats (idf) → ⋈ postings → score
+            → groupBy(query, doc).sum → top-k window
+
+Scale notes:
+  * the query side (tokens + idf) is tiny → ``broadcast()`` — the big
+    postings table is never shuffled; the broadcast-hash join keeps the
+    scan pipelined inside whole-stage codegen.
+  * scoring needs no doc-table join: dl is denormalized into postings.
+  * top-k is a per-query window over only the matched docs; the
+    rank-order contract is (round(score, 6) DESC, id ASC) — rounding
+    first makes ranks immune to float summation-order (see analysis.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..analysis import SCORE_DECIMALS, idf_col, tfnorm_col, tokenize_col
+from ..index.build import InvertedIndex
+
+
+def query_terms(queries: DataFrame, index: InvertedIndex) -> DataFrame:
+    """(query_id, k, term, qtf, df, idf) — duplicate query tokens kept
+    as a weight (Lucene duplicate-term boost)."""
+    n_docs, _ = index.n_and_avgdl()
+    qt = (queries
+          .select("query_id", "k", F.explode(tokenize_col("query_text")).alias("term"))
+          .groupBy("query_id", "k", "term").agg(F.count("*").alias("qtf")))
+    return (qt.join(index.term_stats.select("term", "df"), "term")
+            .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs))))
+
+
+def score_exact(queries: DataFrame, index: InvertedIndex) -> DataFrame:
+    """(query_id, <id>, score) for every matching doc (unlimited)."""
+    _, avgdl = index.n_and_avgdl()
+    qterms = query_terms(queries, index)
+    scored = (index.postings
+              .join(F.broadcast(qterms), "term")
+              .withColumn("_s", F.col("qtf") * F.col("idf") *
+                          tfnorm_col(F.col("tf"), F.col("dl"), F.lit(avgdl), K1, B)))
+    return (scored.groupBy("query_id", index.id_col)
+            .agg(F.sum("_s").alias("score")))
+
+
+def topk(queries: DataFrame, index: InvertedIndex,
+         default_k: int = 10) -> DataFrame:
+    """(query_id, <id>, score, rank) — reference default rows=10
+    (solrindexer/search.py:133)."""
+    scored = score_exact(queries, index)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col(index.id_col).asc())
+    ks = queries.select("query_id", "k")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(ks), "query_id")
+            .filter(F.col("rank") <= F.coalesce(F.col("k"), F.lit(default_k)))
+            .drop("k")
+            .orderBy("query_id", "rank"))
+
+
+def search_with_fields(queries: DataFrame, index: InvertedIndex,
+                       docs: DataFrame, fl: list[str]) -> DataFrame:
+    """Top-k joined back to stored fields — the reference's ``fl``
+    projection (solrindexer/search.py:46-61, J4 in SURVEY §2.3).
+    The top-k side is tiny → broadcast it against the doc table."""
+    hits = topk(queries, index)
+    cols = [F.col(c) for c in fl]
+    return (docs.join(F.broadcast(hits), index.id_col)
+            .select("query_id", "rank", "score", index.id_col, *cols)
+            .orderBy("query_id", "rank"))

@@ -1,0 +1,72 @@
+"""Extraction invariant + validation gates + ledger semantics.
+
+Mirrors the reference's golden-fixture philosophy
+(tests/test_mmd.py) and its negative fixtures (tests/input-files/fail/)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.corpus import synth_pages, synth_pages_pdf
+from solr_indexer_spark.extract import (
+    exit_code,
+    extract_pages,
+    extract_text_py,
+    failure_analytics,
+    latest_wins,
+    validate,
+)
+
+
+def test_extract_text_golden():
+    html = b"<html><head><title>t</title><script>var x=1;</script></head><body><p>Hello &amp; goodbye</p></body></html>"
+    assert extract_text_py(html) == "t Hello & goodbye"
+    assert extract_text_py(None) is None
+    assert extract_text_py(b"\xff\xfe\x00broken") is None
+    assert extract_text_py(b"<html></html>") == ""
+
+
+def test_extraction_byte_identity(spark):
+    """extract(html) must reproduce the generator's text column exactly,
+    per url — the input_hint per-row invariant."""
+    pages = synth_pages(spark, n_docs=200)
+    ext = extract_pages(pages.drop("text").withColumnRenamed("html", "html"))
+    joined = (ext.select("url", "warc_ts", F.col("text").alias("extracted"))
+              .join(pages.select("url", "warc_ts", "text"), ["url", "warc_ts"]))
+    bad = joined.filter(
+        F.col("text").isNotNull() & (F.col("extracted") != F.col("text")))
+    assert bad.count() == 0
+
+
+def test_latest_wins(spark):
+    pages = extract_pages(synth_pages(spark, n_docs=50))
+    deduped = latest_wins(pages)
+    assert deduped.groupBy("url").count().filter("count > 1").count() == 0
+    # doc zero has a fresher revision in the fixture
+    row = deduped.filter(
+        F.col("url") == "https://example.org/crawl/00000000.html").collect()[0]
+    assert row["text"] == "fresher revision of doc zero"
+
+
+def test_validation_split_and_exit_code(spark):
+    pages = extract_pages(synth_pages(spark, n_docs=50))
+    good, run_log = validate(latest_wins(pages))
+    log = {(r["stage"], r["severity"]): r["n_records"]
+           for r in failure_analytics(run_log).collect()}
+    # degenerate fixtures: empty text -> validation failure,
+    # bad bytes -> parsing failure, null lang -> validation warning
+    assert log[("validation", "failure")] == 1
+    assert log[("parsing", "failure")] == 1
+    assert log[("validation", "warning")] >= 1
+    good_urls = {r["url"] for r in good.select("url").collect()}
+    assert "https://example.org/degenerate/empty.html" not in good_urls
+    assert "https://example.org/degenerate/badbytes.html" not in good_urls
+    assert "https://example.org/degenerate/nulllang.html" in good_urls
+    assert exit_code(run_log) == 1
+    assert exit_code(run_log.filter("severity = 'warning'")) == 3
+    assert exit_code(run_log.filter("severity = 'nope'")) == 0
+
+
+def test_generator_deterministic():
+    a = synth_pages_pdf(n_docs=100, seed=7)
+    b = synth_pages_pdf(n_docs=100, seed=7)
+    assert a.equals(b)
