@@ -1,0 +1,261 @@
+"""Posting-list compression: docID-delta + varbyte block codec with
+skip pointers and per-block max-score metadata.
+
+This is the engine-side replacement for Lucene's postings format (the
+reference delegates it to Solr; SURVEY §2.9). Layout produced:
+
+  blocks(term, shard, block_id, first_doc, last_doc, n,
+         docs binary, tfs binary, dls binary, max_tfnorm double)
+
+* ``docs`` = varbyte(delta(doc_ids)) — strictly increasing doc ids.
+* ``tfs`` / ``dls`` = varbyte(raw values).
+* (first_doc, last_doc) per block are the skip pointers: a reader can
+  decide from metadata alone whether a block can contain a doc id or
+  beat a score threshold, without decoding.
+* ``max_tfnorm`` = max over the block of tf/(tf + k1(1-b+b·dl/avgdl)) —
+  the term-independent part of the BM25 bound; a block's score upper
+  bound is idf(t) · max_tfnorm.
+
+Scale design (the north-rule skew clause): the Zipf head term appears
+in ~every doc, so ``groupBy(term)`` alone would put ~N rows in one
+group. Instead the group key is (term, shard) with
+``shard = doc_id // shard_range`` — a *salted repartition by doc range*.
+Group size is bounded by shard_range regardless of term frequency, the
+encoded blocks of different shards are disjoint and ordered, and block
+boundaries are deterministic (they depend only on doc ids, never on
+partitioning), so no decode-and-re-encode merge phase is needed: the
+"merge" of phase-2 is free concatenation by (term, shard, block_id).
+This doc-range sharding doubles as document-partitioned search at query
+time: every shard holds all query terms for its doc range, so top-k
+can run shard-local and merge exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import B, K1
+from .build import InvertedIndex
+
+BLOCK = 128
+DEFAULT_SHARD_RANGE = BLOCK * 1024   # docs per shard; ~8k blocks of head term
+
+
+# ---------------------------------------------------------------------------
+# varbyte — vectorized numpy encode/decode (no per-value Python loop)
+# ---------------------------------------------------------------------------
+
+def vb_encode(vals: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array. 7 data bits per byte, MSB set on
+    continuation bytes (little-endian groups)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lens = np.ones(v.size, np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp > 0).any():
+        lens += (tmp > 0)
+        tmp >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out = np.zeros(int(lens.sum()), np.uint8)
+    rem = v.copy()
+    alive = np.arange(v.size)
+    r = 0
+    while alive.size:
+        b = (rem[alive] & np.uint64(0x7F)).astype(np.uint8)
+        more = (r + 1) < lens[alive]
+        b[more] |= 0x80
+        out[offsets[alive] + r] = b
+        rem[alive] >>= np.uint64(7)
+        alive = alive[more]
+        r += 1
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Inverse of vb_encode → uint64 array."""
+    a = np.frombuffer(buf, np.uint8)
+    if a.size == 0:
+        return np.empty(0, np.uint64)
+    ends = (a & 0x80) == 0
+    gid = np.zeros(a.size, np.int64)
+    gid[1:] = np.cumsum(ends)[:-1]
+    starts = np.concatenate(([0], np.where(ends)[0][:-1] + 1))
+    pos_in_group = np.arange(a.size) - starts[gid]
+    vals7 = (a & np.uint64(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_group.astype(np.uint64))
+    return np.add.reduceat(vals7, starts).astype(np.uint64)
+
+
+def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                         dls: np.ndarray, avgdl: float) -> tuple:
+    """One ≤BLOCK-sized block → (first, last, n, docs, tfs, dls, max_tfnorm).
+    doc_ids must be strictly increasing (raises otherwise)."""
+    d = np.asarray(doc_ids, np.int64)
+    if d.size == 0:
+        raise ValueError("empty posting block")
+    if d.size > 1 and not (np.diff(d) > 0).all():
+        raise ValueError("doc_ids not strictly increasing")
+    deltas = np.empty(d.size, np.uint64)
+    deltas[0] = np.uint64(d[0])
+    deltas[1:] = np.diff(d).astype(np.uint64)
+    tf = np.asarray(tfs, np.float64)
+    dl = np.asarray(dls, np.float64)
+    tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    return (int(d[0]), int(d[-1]), int(d.size),
+            vb_encode(deltas),
+            vb_encode(np.asarray(tfs, np.uint64)),
+            vb_encode(np.asarray(dls, np.uint64)),
+            float(tfnorm.max()))
+
+
+def decode_posting_block(docs: bytes, tfs: bytes, dls: bytes) -> tuple:
+    """(doc_ids int64, tfs int64, dls int64) — inverse of encode."""
+    deltas = vb_decode(docs)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    return doc_ids, vb_decode(tfs).astype(np.int64), vb_decode(dls).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Block-index build (salted / doc-range-sharded two-phase)
+# ---------------------------------------------------------------------------
+
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard", T.LongType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("last_doc", T.LongType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("docs", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+    T.StructField("max_tfnorm", T.DoubleType(), False),
+])
+
+
+@dataclass
+class BlockIndex:
+    """Compressed index handle: blocks + the stats tables it shares
+    with the logical index."""
+
+    blocks: DataFrame
+    term_stats: DataFrame
+    corpus_stats: DataFrame
+    doc_map: DataFrame | None      # (doc_id, <orig id col>) when assigned
+    id_col: str                    # original id column name
+    n_docs: int
+    avgdl: float
+
+
+def _make_encoder(avgdl: float):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        d = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        rows = []
+        for bi, s in enumerate(range(0, d.size, BLOCK)):
+            e = min(s + BLOCK, d.size)
+            first, last, n, db, tb, lb, mx = encode_posting_block(
+                d[s:e], tf[s:e], dl[s:e], avgdl)
+            rows.append((term, shard, bi, first, last, n, db, tb, lb, mx))
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+    return encode_group
+
+
+def assign_doc_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic dense int64 ``doc_id`` by ascending ``id_col``.
+
+    Scalable pattern (no global window / single partition): range-
+    repartition on the id, sort within partitions, count per partition,
+    then add cumulative offsets per partition. Ordering by id means the
+    (score DESC, doc_id ASC) tie-break equals the (score, id) contract.
+    """
+    n_parts = max(docs.rdd.getNumPartitions(), 1)
+    parted = (docs.repartitionByRange(n_parts, F.col(id_col))
+              .sortWithinPartitions(id_col))
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in
+              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = docs.sparkSession
+    boff = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + parted.schema.fields)
+
+    def add_ids(it):
+        base = None  # task-local: one task == one partition, many batches
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = boff.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf.insert(0, "doc_id", np.arange(base, base + len(pdf), dtype=np.int64))
+            base += len(pdf)
+            yield pdf
+
+    return with_pid.mapInPandas(add_ids, schema=out_schema)
+
+
+def build_block_index(index: InvertedIndex,
+                      shard_range: int = DEFAULT_SHARD_RANGE,
+                      doc_map: DataFrame | None = None) -> BlockIndex:
+    """Logical index (postings with int64 id first column) → compressed
+    block index. ``index.postings`` must be keyed by an integer column.
+    """
+    n_docs, avgdl = index.n_and_avgdl()
+    p = index.postings.select(
+        "term",
+        F.col(index.id_col).cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+    ).withColumn("shard", (F.col("doc_id") / F.lit(shard_range)).cast("long"))
+    blocks = p.groupBy("term", "shard").applyInPandas(
+        _make_encoder(avgdl), schema=BLOCKS_SCHEMA)
+    return BlockIndex(blocks=blocks, term_stats=index.term_stats,
+                      corpus_stats=index.corpus_stats, doc_map=doc_map,
+                      id_col=index.id_col, n_docs=n_docs, avgdl=avgdl)
+
+
+def decode_blocks_df(blocks: DataFrame) -> DataFrame:
+    """blocks → raw postings (term, doc_id, tf, dl); round-trip check."""
+    schema = T.StructType([
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            out_term, out_doc, out_tf, out_dl = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d, tf, dl = decode_posting_block(row.docs, row.tfs, row.dls)
+                out_term.append(np.full(d.size, row.term, dtype=object))
+                out_doc.append(d)
+                out_tf.append(tf)
+                out_dl.append(dl)
+            if out_term:
+                yield pd.DataFrame({
+                    "term": np.concatenate(out_term),
+                    "doc_id": np.concatenate(out_doc),
+                    "tf": np.concatenate(out_tf),
+                    "dl": np.concatenate(out_dl),
+                })
+
+    return blocks.mapInPandas(gen, schema=schema)

@@ -1,0 +1,84 @@
+"""Codec round-trip + edge cases (FIXTURES.md §5): single-doc term,
+exactly one block, block+1 docs, deltas of 1, max-varbyte deltas,
+all-equal tf, monotonicity violation raises."""
+
+import numpy as np
+import pytest
+
+from solr_indexer_spark.index.codec import (
+    BLOCK,
+    decode_posting_block,
+    encode_posting_block,
+    vb_decode,
+    vb_encode,
+)
+
+
+@pytest.mark.parametrize("vals", [
+    [],
+    [0],
+    [1],
+    [127], [128], [129],
+    [16383], [16384],
+    [2**40, 2**50, 2**62],
+    list(range(1000)),
+    [0, 0, 0, 5],
+])
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert vb_decode(vb_encode(arr)).tolist() == vals
+
+
+def test_varbyte_random_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        arr = rng.integers(0, 2**62, size=rng.integers(1, 500)).astype(np.uint64)
+        assert (vb_decode(vb_encode(arr)) == arr).all()
+
+
+@pytest.mark.parametrize("n", [1, BLOCK, BLOCK + 1, 2 * BLOCK - 1])
+def test_block_roundtrip(n):
+    doc_ids = np.cumsum(np.ones(n, np.int64))          # deltas of 1
+    tfs = np.full(n, 3, np.int64)                       # all-equal tf
+    dls = np.arange(1, n + 1, dtype=np.int64)
+    first, last, cnt, db, tb, lb, mx = encode_posting_block(
+        doc_ids[:BLOCK], tfs[:BLOCK], dls[:BLOCK], avgdl=10.0)
+    d, t, l = decode_posting_block(db, tb, lb)
+    m = min(n, BLOCK)
+    assert first == 1 and cnt == m and last == doc_ids[m - 1]
+    assert (d == doc_ids[:m]).all() and (t == tfs[:m]).all() and (l == dls[:m]).all()
+    assert 0.0 < mx < 1.0
+
+
+def test_block_max_is_max():
+    doc_ids = np.array([5, 9, 1000], np.int64)
+    tfs = np.array([1, 50, 2], np.int64)
+    dls = np.array([100, 50, 10], np.int64)
+    *_, mx = encode_posting_block(doc_ids, tfs, dls, avgdl=60.0)
+    k1, b = 1.2, 0.75
+    expect = max(tf / (tf + k1 * (1 - b + b * dl / 60.0))
+                 for tf, dl in zip(tfs, dls))
+    assert mx == pytest.approx(expect, rel=1e-12)
+
+
+def test_monotonicity_violation_raises():
+    with pytest.raises(ValueError):
+        encode_posting_block(np.array([3, 2], np.int64),
+                             np.array([1, 1], np.int64),
+                             np.array([1, 1], np.int64), avgdl=1.0)
+    with pytest.raises(ValueError):
+        encode_posting_block(np.array([2, 2], np.int64),
+                             np.array([1, 1], np.int64),
+                             np.array([1, 1], np.int64), avgdl=1.0)
+    with pytest.raises(ValueError):
+        encode_posting_block(np.array([], np.int64), np.array([], np.int64),
+                             np.array([], np.int64), avgdl=1.0)
+
+
+def test_max_delta_values():
+    doc_ids = np.array([0, 2**62], np.int64)
+    tfs = np.array([1, 1], np.int64)
+    dls = np.array([7, 7], np.int64)
+    _, _, _, db, tb, lb, _ = encode_posting_block(doc_ids, tfs, dls, avgdl=7.0)
+    d, _, _ = decode_posting_block(db, tb, lb)
+    assert d.tolist() == [0, 2**62]

@@ -1,0 +1,90 @@
+"""Block index + block-max WAND: round-trip vs raw postings, and
+rank-identity vs BOTH the exact scorer and the pure-Python oracle, at
+multiple shard sizes (forcing multi-shard and partial-block layouts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.corpus import synth_pages
+from solr_indexer_spark.extract import extract_pages, latest_wins, validate
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.index.codec import assign_doc_ids, build_block_index, decode_blocks_df
+from solr_indexer_spark.oracle import OracleIndex
+from solr_indexer_spark.query.scorer import topk
+from solr_indexer_spark.query.wand import topk_wand
+
+QUERIES = [
+    (1, "term0000", 10),
+    (2, "term0000 term0101 term0202", 10),
+    (3, "uniq00000047", 5),
+    (4, "zzzabsent", 10),
+    (5, "term0001 term0001 term0400", 10),
+    (6, "term0002 term0003 term0004 term0005", 25),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pages = latest_wins(extract_pages(synth_pages(spark, n_docs=700)))
+    good, _ = validate(pages)
+    with_ids = assign_doc_ids(good, id_col="url").cache()
+    with_ids.count()
+    return with_ids
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    return spark.createDataFrame(QUERIES, "query_id int, query_text string, k int")
+
+
+def test_doc_id_assignment_dense_and_ordered(docs):
+    rows = docs.select("doc_id", "url").orderBy("url").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == list(range(len(rows)))  # dense, ascending with url
+
+
+@pytest.mark.parametrize("shard_range", [128, 300, 10**6])
+def test_block_roundtrip_equals_raw_postings(spark, docs, shard_range):
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=shard_range)
+    raw = index.postings.select("term", F.col("doc_id").cast("long"), "tf", "dl")
+    dec = decode_blocks_df(bindex.blocks)
+    assert dec.count() == raw.count()
+    assert dec.exceptAll(raw).count() == 0
+
+
+@pytest.mark.parametrize("shard_range", [128, 300, 10**6])
+def test_wand_rank_identical(spark, docs, qdf, shard_range):
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=shard_range)
+
+    exact = topk(qdf, index).collect()
+    fast = topk_wand(qdf, bindex).collect()
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 6)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert keyed(fast) == keyed(exact)
+
+
+def test_wand_rank_identical_to_oracle(spark, docs, qdf):
+    id_url = {r["doc_id"]: r["url"] for r in docs.select("doc_id", "url").collect()}
+    oracle = OracleIndex.build(
+        [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()])
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=256)
+    fast = topk_wand(qdf, bindex).collect()
+    by_q = {}
+    for r in fast:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in QUERIES:
+        expect = oracle.topk(qtext, k)
+        actual = sorted(by_q.get(qid, []))
+        assert [(r, d) for r, d, _ in actual] == [(r, d) for r, d, _ in expect], \
+            f"q{qid}: {actual} vs {expect} ({[id_url.get(d) for _, d, _ in actual]})"
+        for (_, _, sg), (_, _, se) in zip(actual, expect):
+            assert sg == pytest.approx(se, rel=1e-6)
