@@ -1,0 +1,68 @@
+"""Thin table/manifest layer: parquet + JSON manifest locally, with the
+snapshot semantics Iceberg provides in production.
+
+The manifest is the source of truth for which index partitions exist —
+a killed job may leave orphan parquet files, but a partition is only
+visible once its manifest entry is committed (atomic temp+rename),
+exactly the role of an Iceberg snapshot. Reference analogue: the
+reference has NO resumability (a killed run restarts from scratch); the
+north rule requires adding it, with per-partition lineage + counters
+(docs indexed, postings written, bytes compressed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass
+
+
+@dataclass
+class PartitionCheckpoint:
+    run_id: str
+    partition_id: int            # shard id
+    status: str                  # "done"
+    docs_indexed: int
+    postings_written: int
+    bytes_compressed: int
+    completed_at: float
+
+
+class Manifest:
+    """Append-only JSONL manifest with atomic commits."""
+
+    def __init__(self, base_dir: str):
+        self.path = os.path.join(base_dir, "_manifest.jsonl")
+        os.makedirs(base_dir, exist_ok=True)
+
+    def entries(self) -> list[PartitionCheckpoint]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(PartitionCheckpoint(**json.loads(line)))
+        return out
+
+    def done_partitions(self) -> set[int]:
+        return {e.partition_id for e in self.entries() if e.status == "done"}
+
+    def commit(self, new_entries: list[PartitionCheckpoint]) -> None:
+        """Atomic append: write full content to temp file, rename over."""
+        existing = []
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                existing = [ln for ln in f.read().splitlines() if ln.strip()]
+        lines = existing + [json.dumps(asdict(e)) for e in new_entries]
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, self.path)
+
+    @staticmethod
+    def now() -> float:
+        return time.time()

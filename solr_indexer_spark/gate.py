@@ -121,6 +121,23 @@ ORDER BY query_id, rnk
 """
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_bm25_topk but through the compressed block
+    index + block-max pruned retrieval — the oracle SQL is identical,
+    which is exactly the claim: pruned scan, same answer."""
+    from .index.codec import build_block_index
+    from .query.wand import topk_wand
+    index = build_index(_docs(spark, sf_dir), id_col="doc_id")
+    bindex = build_block_index(index, shard_range=4096)
+    hits = topk_wand(_queries_df(spark), bindex)
+    return hits.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rnk"),
+        "doc_id",
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
     return index.term_stats.orderBy("term")
@@ -249,6 +266,7 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "wand_topk": q_wand_topk,
     "term_stats": q_term_stats,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -267,6 +285,7 @@ _TOK = tokenize_sql("text")
 
 ORACLE_SQL = {
     "bm25_topk": _bm25_sql(),
+    "wand_topk": _bm25_sql(),
     "term_stats": f"""
         WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -108,7 +108,7 @@ def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray,
     tf = np.asarray(tfs, np.float64)
     dl = np.asarray(dls, np.float64)
     tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
-    return (int(d[0]), int(d[-1]), int(d.size),
+    return (int(d[0]), int(d[-1]), int(d.size), int(tf.sum()),
             vb_encode(deltas),
             vb_encode(np.asarray(tfs, np.uint64)),
             vb_encode(np.asarray(dls, np.uint64)),
@@ -133,6 +133,7 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("first_doc", T.LongType(), False),
     T.StructField("last_doc", T.LongType(), False),
     T.StructField("n", T.IntegerType(), False),
+    T.StructField("sum_tf", T.LongType(), False),
     T.StructField("docs", T.BinaryType(), False),
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
@@ -165,9 +166,9 @@ def _make_encoder(avgdl: float):
         rows = []
         for bi, s in enumerate(range(0, d.size, BLOCK)):
             e = min(s + BLOCK, d.size)
-            first, last, n, db, tb, lb, mx = encode_posting_block(
+            first, last, n, stf, db, tb, lb, mx = encode_posting_block(
                 d[s:e], tf[s:e], dl[s:e], avgdl)
-            rows.append((term, shard, bi, first, last, n, db, tb, lb, mx))
+            rows.append((term, shard, bi, first, last, n, stf, db, tb, lb, mx))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
     return encode_group
 

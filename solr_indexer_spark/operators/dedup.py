@@ -1,0 +1,205 @@
+"""Deduplication operators over a document corpus.
+
+All hashing is md5-derived so the exact same signatures are computable
+in Spark (JVM-side ``conv(substr(md5(x),1,15),16,10)``), DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``) and Python — every candidate
+pipeline below is therefore independently verifiable by the SQL oracle,
+not just "similar".
+
+Scale notes:
+  * exact/normalized dedup: one hash-groupBy — map-side combinable.
+  * MinHash LSH: signature computation is embarrassingly parallel and
+    entirely JVM-side (higher-order array functions, no Python); the
+    band join shuffles only (band_key, doc_id) pairs, never documents.
+    Verification joins the (small) candidate set back to token sets.
+  * SimHash: banded by pigeonhole (hd ≤ 3 over 4 bands of 8 bits →
+    at least one identical band), so candidate generation is a
+    bucket-join, brute-force-free, and provably recall-complete.
+  * embedding dedup: brute-force variant for small candidate sets;
+    the LSH-bucketed scale path lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_col
+
+# md5-derived 60-bit stable hash (JVM-side, no UDF)
+MERSENNE = 2147483647  # 2^31 - 1
+
+
+def md5_hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact / normalized exact dedup
+# ---------------------------------------------------------------------------
+
+def normalized_key(text_col) -> F.Column:
+    """Canonical bag-of-words key: sorted distinct tokens."""
+    return F.array_join(F.array_sort(F.array_distinct(tokenize_col(text_col))), " ")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                normalized: bool = True) -> DataFrame:
+    """(keep_id, dup_id) pairs: every non-minimal member of an identical
+    (normalized-)text group, mapped to the group's min id."""
+    key = normalized_key(F.col("text")) if normalized else F.col("text")
+    keyed = docs.select(F.col(id_col), key.alias("k"))
+    groups = keyed.groupBy("k").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("cnt"))
+    return (keyed.join(groups.filter(F.col("cnt") > 1), "k")
+            .filter(F.col(id_col) != F.col("keep_id"))
+            .select("keep_id", F.col(id_col).alias("dup_id"))
+            .orderBy("keep_id", "dup_id"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (shared-shingle candidates, exact verify)
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col, n: int = 3) -> F.Column:
+    """Distinct word n-grams (space-joined)."""
+    toks = tokenize_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.array_distinct(gram)
+
+
+def dedup_ngram_jaccard(docs: DataFrame, id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(a, b, j) pairs with shingle-set Jaccard ≥ threshold. Candidates
+    must share ≥1 shingle, so disjoint docs never pair (no n² blow-up;
+    at web scale pair with minhash banding first)."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(shingles_col(F.col("text"), n)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (sh.alias("x").join(sh.alias("y"), "s")
+             .filter(F.col("x.id") < F.col("y.id"))
+             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .agg(F.count("*").alias("i")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+           .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+           .withColumn("j", F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
+           .filter(F.col("j") >= threshold)
+           .select("a", "b", F.round("j", 4).alias("j_r4")))
+    return out.orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i·(x mod p) + b_i) mod p."""
+    return [(2 * i + 3, 7 * i + 1) for i in range(n_hashes)]
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = 16) -> DataFrame:
+    """(id, sig array<long>) — MinHash over distinct tokens, fully
+    JVM-side (md5 hash + higher-order transform/array_min)."""
+    toks = F.array_distinct(tokenize_col(F.col("text")))
+    hashes = F.transform(toks, lambda t: F.pmod(md5_hash60(t), F.lit(MERSENNE)))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE))))
+        for a, b in _minhash_params(n_hashes)])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"),
+                       toks.alias("tokset"))
+
+
+def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """(a, b, j) pairs: candidates collide in ≥1 LSH band, then exact
+    distinct-token Jaccard ≥ threshold is verified. Deterministic:
+    the same pairs fall out in any engine computing the same hashes."""
+    r = n_hashes // bands
+    sigs = minhash_signature(docs, id_col, n_hashes)
+    band_rows = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws("_", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string")
+                                        for j in range(r)]).alias("key"))
+            for bi in range(bands)])).alias("bk"))
+    cands = (band_rows.alias("x").join(
+        band_rows.alias("y"),
+        (F.col("x.bk.band") == F.col("y.bk.band")) &
+        (F.col("x.bk.key") == F.col("y.bk.key")) &
+        (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct())
+    tok = sigs.select("id", "tokset")
+    verified = (cands
+                .join(tok.select(F.col("id").alias("a"), F.col("tokset").alias("ta")), "a")
+                .join(tok.select(F.col("id").alias("b"), F.col("tokset").alias("tb")), "b")
+                .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+                .withColumn("u", F.size(F.array_union("ta", "tb")))
+                .withColumn("j", F.col("i") / F.col("u"))
+                .filter(F.col("j") >= threshold)
+                .select("a", "b", F.round("j", 4).alias("j_r4")))
+    return verified.orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — SIMHASH_BITS-bit tf-weighted SimHash, JVM-side."""
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(tokenize_col(F.col("text"))).alias("t"))
+    h = tok.withColumn("h", md5_hash60(F.col("t")))
+    bit_sums = h.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)])
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.cast("long").alias("fp"))
+
+
+def dedup_simhash(docs: DataFrame, id_col: str = "doc_id",
+                  max_hd: int = 3) -> DataFrame:
+    """(a, b, hd) pairs with Hamming distance ≤ max_hd.
+
+    Candidates via pigeonhole banding: with 4 bands of 8 bits, any pair
+    with hd ≤ 3 shares at least one identical band — recall-complete
+    without an n² comparison."""
+    n_bands = max_hd + 1
+    width = SIMHASH_BITS // n_bands
+    fps = simhash(docs, id_col)
+    bands = fps.select("id", "fp", F.explode(F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.shiftright(F.col("fp"), bi * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for bi in range(n_bands)])).alias("bk"))
+    cands = (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.bk.band") == F.col("y.bk.band")) &
+        (F.col("x.bk.key") == F.col("y.bk.key")) &
+        (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("x.fp").alias("fa"),
+                F.col("y.id").alias("b"), F.col("y.fp").alias("fb"))
+        .distinct())
+    hd = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cands.withColumn("hd", hd.cast("long"))
+            .filter(F.col("hd") <= max_hd)
+            .select("a", "b", "hd")
+            .orderBy("a", "b"))

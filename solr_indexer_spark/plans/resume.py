@@ -1,0 +1,118 @@
+"""Resumable, checkpointed index build (north-rule requirement).
+
+A build over N doc-range shards proceeds in shard groups; each group's
+blocks are written with dynamic partition overwrite (idempotent: a
+retried/re-run group replaces exactly its own shard directories), then
+the group's per-shard checkpoints — lineage + counters (docs indexed,
+postings written, bytes compressed) — are committed atomically to the
+manifest. On restart, shards in the manifest are skipped entirely: no
+recompute of finished segments. Orphan files from a kill between write
+and commit are invisible (the loader reads only manifest-listed shards)
+and get overwritten when the shard re-runs.
+
+The reference restarts from scratch on a kill (no checkpointing
+anywhere in solrindexer/cli.py's bulkindex loop) — this module is the
+deliberate upgrade the north rule asks for. In production the manifest
+role is played by Iceberg snapshots; the flow is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Manifest, PartitionCheckpoint
+from ..index.build import build_index
+from ..index.codec import DEFAULT_SHARD_RANGE, BlockIndex, build_block_index
+
+
+class ResumableIndexBuild:
+    """Builds the compressed block index under ``base_dir`` with
+    per-shard checkpoints. ``docs`` must carry an int64 ``doc_id``."""
+
+    def __init__(self, base_dir: str, run_id: str = "run",
+                 shard_range: int = DEFAULT_SHARD_RANGE,
+                 group_size: int = 4):
+        self.base_dir = base_dir
+        self.run_id = run_id
+        self.shard_range = shard_range
+        self.group_size = group_size
+        self.manifest = Manifest(base_dir)
+
+    # -- build ---------------------------------------------------------
+
+    def run(self, docs: DataFrame, max_groups: int | None = None) -> dict:
+        """Build/resume. ``max_groups`` bounds work for kill simulation.
+        Returns counters {shards_built, shards_skipped}."""
+        spark = docs.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        docs = docs.withColumn(
+            "_shard", (F.col("doc_id") / F.lit(self.shard_range)).cast("long"))
+        all_shards = sorted(r["_shard"] for r in
+                            docs.select("_shard").distinct().collect())
+        done = self.manifest.done_partitions()
+        todo = [s for s in all_shards if s not in done]
+
+        # corpus stats are global — computed once, first (avgdl feeds the
+        # per-block max-score bound), then frozen alongside the manifest
+        corpus_path = os.path.join(self.base_dir, "corpus_stats")
+        if not done or not os.path.exists(corpus_path):
+            index_all = build_index(docs, id_col="doc_id")
+            index_all.corpus_stats.coalesce(1).write.mode("overwrite") \
+                .parquet(corpus_path)
+
+        groups = [todo[i:i + self.group_size]
+                  for i in range(0, len(todo), self.group_size)]
+        if max_groups is not None:
+            groups = groups[:max_groups]
+
+        built = 0
+        for group in groups:
+            sub = docs.filter(F.col("_shard").isin([int(s) for s in group]))
+            # per-group logical index; dl/tf are per-doc so shard-local
+            # postings are identical to a global build's slice
+            index = build_index(sub, id_col="doc_id")
+            # freeze global avgdl into the encoder
+            index.corpus_stats = spark.read.parquet(corpus_path)
+            bindex = build_block_index(index, shard_range=self.shard_range)
+            blocks = bindex.blocks.cache()
+            counters = (blocks.groupBy("shard").agg(
+                F.sum("n").alias("postings_written"),
+                (F.sum(F.length("docs")) + F.sum(F.length("tfs")) +
+                 F.sum(F.length("dls"))).alias("bytes_compressed")).collect())
+            docs_per_shard = {r["_shard"]: r["c"] for r in
+                              sub.groupBy("_shard").agg(F.count("*").alias("c")).collect()}
+            (blocks.write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(self.base_dir, "blocks")))
+            blocks.unpersist()
+            self.manifest.commit([
+                PartitionCheckpoint(
+                    run_id=self.run_id, partition_id=int(r["shard"]),
+                    status="done",
+                    docs_indexed=int(docs_per_shard.get(r["shard"], 0)),
+                    postings_written=int(r["postings_written"]),
+                    bytes_compressed=int(r["bytes_compressed"]),
+                    completed_at=Manifest.now())
+                for r in counters])
+            built += len(group)
+        return {"shards_built": built,
+                "shards_skipped": len(all_shards) - len(todo)}
+
+    # -- load ----------------------------------------------------------
+
+    def load(self, spark: SparkSession) -> BlockIndex:
+        """Read back the committed index: only manifest-listed shards
+        are visible (snapshot-isolation analogue)."""
+        done = sorted(self.manifest.done_partitions())
+        blocks = (spark.read.parquet(os.path.join(self.base_dir, "blocks"))
+                  .filter(F.col("shard").isin([int(s) for s in done])))
+        corpus = spark.read.parquet(os.path.join(self.base_dir, "corpus_stats"))
+        row = corpus.collect()[0]
+        term_stats = (blocks.groupBy("term")
+                      .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")))
+        return BlockIndex(blocks=blocks, term_stats=term_stats,
+                          corpus_stats=corpus, doc_map=None, id_col="doc_id",
+                          n_docs=int(row["n_docs"]), avgdl=float(row["avgdl"]))

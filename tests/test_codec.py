@@ -41,8 +41,9 @@ def test_block_roundtrip(n):
     doc_ids = np.cumsum(np.ones(n, np.int64))          # deltas of 1
     tfs = np.full(n, 3, np.int64)                       # all-equal tf
     dls = np.arange(1, n + 1, dtype=np.int64)
-    first, last, cnt, db, tb, lb, mx = encode_posting_block(
+    first, last, cnt, sum_tf, db, tb, lb, mx = encode_posting_block(
         doc_ids[:BLOCK], tfs[:BLOCK], dls[:BLOCK], avgdl=10.0)
+    assert sum_tf == 3 * cnt
     d, t, l = decode_posting_block(db, tb, lb)
     m = min(n, BLOCK)
     assert first == 1 and cnt == m and last == doc_ids[m - 1]
@@ -79,6 +80,6 @@ def test_max_delta_values():
     doc_ids = np.array([0, 2**62], np.int64)
     tfs = np.array([1, 1], np.int64)
     dls = np.array([7, 7], np.int64)
-    _, _, _, db, tb, lb, _ = encode_posting_block(doc_ids, tfs, dls, avgdl=7.0)
+    _, _, _, _, db, tb, lb, _ = encode_posting_block(doc_ids, tfs, dls, avgdl=7.0)
     d, _, _ = decode_posting_block(db, tb, lb)
     assert d.tolist() == [0, 2**62]

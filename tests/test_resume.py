@@ -1,0 +1,93 @@
+"""Resume/checkpoint semantics (FIXTURES.md §6): kill after m of n
+shard groups, restart, assert (a) finished shards are skipped — no
+recompute, (b) resumed index is identical to an uninterrupted build,
+(c) counters recorded per partition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.corpus import synth_pages
+from solr_indexer_spark.extract import extract_pages, latest_wins, validate
+from solr_indexer_spark.index.codec import assign_doc_ids, decode_blocks_df
+from solr_indexer_spark.plans.resume import ResumableIndexBuild
+from solr_indexer_spark.query.wand import topk_wand
+
+SHARD_RANGE = 100   # 800 docs -> 9 shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pages = latest_wins(extract_pages(synth_pages(spark, n_docs=800)))
+    good, _ = validate(pages)
+    d = assign_doc_ids(good, id_col="url").cache()
+    d.count()
+    return d
+
+
+def _blocks_signature(spark, build):
+    bindex = build.load(spark)
+    return sorted(
+        (r["term"], r["shard"], r["block_id"], r["first_doc"], r["last_doc"],
+         r["n"], bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in bindex.blocks.collect())
+
+
+def test_kill_resume_identical_to_clean_build(spark, docs, tmp_path):
+    clean = ResumableIndexBuild(str(tmp_path / "clean"), run_id="r0",
+                                shard_range=SHARD_RANGE, group_size=3)
+    clean.run(docs)
+    assert len(clean.manifest.done_partitions()) == 9
+
+    # killed build: only 1 group (3 shards) completes
+    resum = ResumableIndexBuild(str(tmp_path / "resumed"), run_id="r1",
+                                shard_range=SHARD_RANGE, group_size=3)
+    out1 = resum.run(docs, max_groups=1)
+    assert out1 == {"shards_built": 3, "shards_skipped": 0}
+    first_entries = {e.partition_id: e.completed_at for e in resum.manifest.entries()}
+    assert len(first_entries) == 3
+
+    # restart: finishes the rest, does NOT touch finished shards
+    resum2 = ResumableIndexBuild(str(tmp_path / "resumed"), run_id="r2",
+                                 shard_range=SHARD_RANGE, group_size=3)
+    out2 = resum2.run(docs)
+    assert out2 == {"shards_built": 6, "shards_skipped": 3}
+    entries = resum2.manifest.entries()
+    after = {e.partition_id: e.completed_at for e in entries}
+    for pid, ts in first_entries.items():
+        assert after[pid] == ts, "finished shard was recomputed"
+    assert len(after) == 9
+
+    assert _blocks_signature(spark, clean) == _blocks_signature(spark, resum2)
+
+
+def test_counters_recorded(spark, docs, tmp_path):
+    build = ResumableIndexBuild(str(tmp_path / "c"), run_id="rc",
+                                shard_range=SHARD_RANGE, group_size=9)
+    build.run(docs)
+    entries = build.manifest.entries()
+    n_docs_total = sum(e.docs_indexed for e in entries)
+    assert n_docs_total == docs.count()
+    bindex = build.load(spark)
+    postings_total = bindex.blocks.agg(F.sum("n")).collect()[0][0]
+    assert postings_total == sum(e.postings_written for e in entries)
+    assert all(e.bytes_compressed > 0 for e in entries)
+    assert all(e.run_id == "rc" and e.status == "done" for e in entries)
+
+
+def test_loaded_index_queryable_and_stats_correct(spark, docs, tmp_path):
+    build = ResumableIndexBuild(str(tmp_path / "q"), run_id="rq",
+                                shard_range=SHARD_RANGE, group_size=4)
+    build.run(docs)
+    bindex = build.load(spark)
+    # term_stats derived from block metadata == recount from decode
+    dec = decode_blocks_df(bindex.blocks)
+    truth = dec.groupBy("term").agg(F.count("*").alias("df2"),
+                                    F.sum("tf").alias("cf2"))
+    joined = bindex.term_stats.join(truth, "term")
+    bad = joined.filter((F.col("df") != F.col("df2")) |
+                        (F.col("cf") != F.col("cf2"))).count()
+    assert bad == 0
+    q = spark.createDataFrame([(1, "term0000 term0101", 10)],
+                              "query_id int, query_text string, k int")
+    hits = topk_wand(q, bindex).collect()
+    assert len(hits) == 10 and hits[0]["rank"] == 1
