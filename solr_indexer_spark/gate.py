@@ -261,12 +261,361 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_norm(spark, sf_dir):
+    from .operators.dedup import dedup_exact
+    return dedup_exact(_docs(spark, sf_dir), id_col="doc_id", normalized=True)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import dedup_ngram_jaccard
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import dedup_minhash_lsh
+    return dedup_minhash_lsh(_docs(spark, sf_dir), n_hashes=16, bands=4,
+                             threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .operators.dedup import dedup_simhash
+    return dedup_simhash(_docs(spark, sf_dir), max_hd=3)
+
+
+def _embs(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id", F.transform("embedding",
+                    lambda x: x.cast("double")).alias("embedding"))
+
+
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .operators.similarity import ann_brute_topk
+    vecs = _embs(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)) \
+        .withColumnRenamed("vec_id", "query_vec_id")
+    return ann_brute_topk(vecs, qs, k=10)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    from .operators.similarity import embedding_dedup
+    return embedding_dedup(_embs(spark, sf_dir), threshold=0.45)
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    from .operators.textstats import quality_score
+    return quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_count(spark, sf_dir):
+    from .operators.textstats import token_count
+    return token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators.textstats import doc_fingerprint
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_payload_meta(spark, sf_dir):
+    from .operators.multimodal import assets_from_docs
+    return assets_from_docs(_docs(spark, sf_dir)) \
+        .select("asset_id", "payload_bytes", "payload_md5") \
+        .orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (batch equivalents of the streaming module)
+# ---------------------------------------------------------------------------
+
+def q_windowed_agg_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value_r4"))
+            .select(F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                    .alias("win_start"), "event_type", "n", "sum_value_r4")
+            .orderBy("win_start", "event_type"))
+
+
+def q_sessionize_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds: exact in every engine (no float truncation);
+    # cast NTZ->TZ is lossless under the pinned UTC session timezone
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+    sid = F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    sessions = marked.withColumn("sid", sid)
+    return (sessions.groupBy("user_id")
+            .agg(F.countDistinct("sid").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+def _md5h_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_sql() -> str:
+    from .operators.dedup import MERSENNE, _minhash_params
+    p = MERSENNE
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {p}))"
+        for a, b in _minhash_params(16))
+    r = 4
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, tokset, {bi} AS band, "
+        + " || '_' || ".join(f"sig[{bi * r + j + 1}]::VARCHAR" for j in range(r))
+        + " AS key FROM sig"
+        for bi in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, list_distinct({tokenize_sql('text')}) AS tokset
+  FROM documents
+),
+hs AS (
+  SELECT id, tokset,
+         list_transform(tokset, t -> {_md5h_sql('t')} % {p}) AS hv
+  FROM tok
+),
+sig AS (SELECT id, tokset, [{sig_exprs}] AS sig FROM hs),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(ta.tokset, tb.tokset))::DOUBLE
+           / len(list_distinct(ta.tokset || tb.tokset)) AS j
+  FROM cands c JOIN tok ta ON ta.id = c.a JOIN tok tb ON tb.id = c.b
+)
+SELECT a, b, round(j, 4) AS j_r4 FROM verified WHERE j >= 0.5 ORDER BY a, b
+"""
+
+
+def _simhash_sql() -> str:
+    from .operators.dedup import SIMHASH_BITS
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({tokenize_sql('text')}) AS t FROM documents
+),
+h AS (SELECT id, {_md5h_sql('t')} AS h FROM tok),
+bits AS (SELECT id, {sums} FROM h GROUP BY id),
+fp AS (SELECT id, ({fp})::BIGINT AS fp FROM bits)
+SELECT a.id AS a, b.id AS b, bit_count(xor(a.fp, b.fp))::BIGINT AS hd
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY a, b
+"""
+
+
+def _lang_id_sql() -> str:
+    from .operators.textstats import LANG_PROFILES
+    selects = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, "
+        "len(list_filter({tok}, t -> list_contains({markers}, t)))::DOUBLE "
+        "/ greatest(len({tok}), 1) AS score FROM documents".format(
+            lang=lang, tok=tokenize_sql("text"),
+            markers="[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]")
+        for lang in sorted(LANG_PROFILES))
+    return f"""
+WITH scores AS ({selects}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS r
+  FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       round(score, 4) AS score_r4
+FROM ranked WHERE r = 1 ORDER BY doc_id
+"""
+
+
+_EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+ORACLE_SQL_V2 = {
+    "dedup_exact_norm": f"""
+        WITH k AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list_distinct({tokenize_sql('text')})), ' ') AS k
+          FROM documents
+        ),
+        g AS (SELECT k, min(doc_id) AS keep_id, count(*) AS c FROM k GROUP BY k)
+        SELECT g.keep_id, k.doc_id AS dup_id
+        FROM k JOIN g USING (k)
+        WHERE g.c > 1 AND k.doc_id <> g.keep_id
+        ORDER BY 1, 2
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+          FROM t WHERE len(toks) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS j_r4
+        FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        ORDER BY a, b
+    """,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "ann_cosine_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_vec_id, v AS qv FROM e
+              WHERE vec_id IN {ANN_QUERY_IDS}),
+        s AS (
+          SELECT q.query_vec_id, e.vec_id,
+                 list_cosine_similarity(e.v, q.qv) AS cos
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_vec_id
+        ),
+        r AS (
+          SELECT query_vec_id, vec_id, round(cos, 4) AS cos_r4,
+                 row_number() OVER (PARTITION BY query_vec_id
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+          FROM s
+        )
+        SELECT query_vec_id, rnk, vec_id, cos_r4 FROM r
+        WHERE rnk <= 10 ORDER BY 1, 2
+    """,
+    "embedding_dedup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos_r4
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        ORDER BY a, b
+    """,
+    "lang_id": _lang_id_sql(),
+    "quality_score": f"""
+        WITH t AS (
+          SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents
+        ),
+        m AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / greatest(len(toks), 1) AS avg_len,
+                 len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE
+                   / greatest(len(toks), 1) AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id, n::BIGINT AS n_tokens,
+               round(avg_len, 4) AS avg_token_len,
+               round(stop_ratio, 4) AS stopword_ratio,
+               round(least(n / 100.0, 1.0) * 0.4
+                     + (CASE WHEN avg_len >= 3 AND avg_len <= 8
+                             THEN 0.3 ELSE 0.0 END)
+                     + least(stop_ratio * 2, 0.3), 4) AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               coalesce(len({tokenize_sql('text')}), 0)::BIGINT AS n_tokens,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END)::BIGINT AS n_ws_words,
+               length(text)::BIGINT AS n_chars_text
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        WITH t AS (SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM documents),
+        ph AS (
+          SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {_md5h_sql("(i - 1)::VARCHAR || ':' || toks[i]")})) AS h
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT id, bit_xor(h) AS fp FROM ph GROUP BY id ORDER BY id
+    """,
+    "payload_meta": """
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text))::BIGINT AS payload_bytes,
+               md5(text) AS payload_md5
+        FROM documents ORDER BY asset_id
+    """,
+    "windowed_agg_events": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%dT%H:%M:%SZ') AS win_start,
+               event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value_r4
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sessionize_events": """
+        WITH e AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                       OR (epoch_us(ts) - epoch_us(prev)) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, count(DISTINCT sid) AS n_sessions,
+               count(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
+    """,
+}
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
+    "dedup_exact_norm": q_dedup_exact_norm,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_dedup": q_embedding_dedup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "payload_meta": q_payload_meta,
+    "windowed_agg_events": q_windowed_agg_events,
+    "sessionize_events": q_sessionize_events,
     "term_stats": q_term_stats,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -284,6 +633,7 @@ QUERIES = {
 _TOK = tokenize_sql("text")
 
 ORACLE_SQL = {
+    **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
     "term_stats": f"""

@@ -66,12 +66,14 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def shingles_col(text_col, n: int = 3) -> F.Column:
-    """Distinct word n-grams (space-joined)."""
+    """Distinct word n-grams (space-joined); empty when < n tokens
+    (guarded: Spark sequence(1, 0) would DESCEND, not be empty)."""
     toks = tokenize_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return F.array_distinct(gram)
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def dedup_ngram_jaccard(docs: DataFrame, id_col: str = "doc_id",

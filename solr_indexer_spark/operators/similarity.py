@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * :func:`ann_brute_topk` — exact cosine top-k, all JVM-side
+    (zip_with + aggregate fold for the dot product). The correctness
+    baseline; fine when one side is small (query set) and broadcast.
+  * :func:`ann_lsh_topk` — random-hyperplane LSH bucketing: each
+    vector hashed to a signed-projection bit code; candidates share a
+    code in ≥1 of several hash tables; exact cosine re-ranks the
+    candidates. The scale path: the big side is bucket-joined, never
+    crossed. Recall < 1 by construction (probes can miss); the brute
+    path is the oracle for measuring that recall.
+  * :func:`embedding_dedup` — near-duplicate pairs by cosine ≥ τ.
+
+Hyperplanes are deterministic (seeded numpy), shipped as literal
+arrays, so results are engine-reproducible.
+
+Scale notes: at 10^9+ vectors use the LSH path with
+``repartition(bucket)``; the per-bucket candidate sets stay bounded,
+and the final top-k re-rank is a per-query bounded heap
+(rank-limit pushdown), exactly like the text top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_brute_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_vec_id") -> DataFrame:
+    """Exact cosine top-k of ``vectors`` for each query vector.
+    Queries broadcast; the vector table is scanned once, never shuffled
+    except for the final per-query bounded top-k."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    scored = (vectors.alias("v").crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(qid_col))
+              .withColumn("cos", cosine_col(F.col(vec_col), F.col("qv"))))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                    id_col, F.round("cos", 4).alias("cos_r4"))
+            .orderBy(qid_col, "rnk"))
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _code_col(vec_col, planes: np.ndarray) -> F.Column:
+    """Signed-projection bit code for one hash table (JVM-side)."""
+    code = F.lit(0)
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(float(x)) for x in plane]),
+                       lambda v, p: v * p),
+            F.lit(0.0), lambda acc, v: acc + v)
+        code = code + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return code
+
+
+def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_vec_id",
+                 n_planes: int = 8, n_tables: int = 4,
+                 seed: int = 7) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = vectors sharing a
+    code with the query in ≥1 table; exact cosine re-ranks them."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def codes(df, idc, vc):
+        return df.select(
+            F.col(idc), F.col(vc),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         _code_col(F.col(vc), planes[t]).alias("code"))
+                for t in range(n_tables)])).alias("bk"))
+
+    v_codes = codes(vectors, id_col, vec_col)
+    q_codes = codes(queries, qid_col, vec_col).withColumnRenamed(vec_col, "qv")
+    cands = (v_codes.join(
+        F.broadcast(q_codes),
+        (v_codes["bk.tbl"] == q_codes["bk.tbl"]) &
+        (v_codes["bk.code"] == q_codes["bk.code"]))
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, "qv", id_col, vec_col)
+        .distinct())
+    scored = cands.withColumn("cos", cosine_col(F.col(vec_col), F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                    id_col, F.round("cos", 4).alias("cos_r4"))
+            .orderBy(qid_col, "rnk"))
+
+
+def embedding_dedup(vectors: DataFrame, threshold: float = 0.95,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(a, b, cos) near-duplicate pairs with cosine ≥ threshold
+    (brute-force; LSH-bucket first at scale)."""
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+             .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold))
+    return pairs.select("a", "b", F.round("cos", 4).alias("cos_r4")) \
+        .orderBy("a", "b")
