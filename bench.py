@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract): runs the headline jobs at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ...,
+   "docs_per_sec": ..., "query_p95_ms": ...}
+
+Stages:
+  index_build   — tokenize -> postings -> compressed block index,
+                  materialized to a noop sink (docs/sec headline)
+  wand_q*       — per-query block-max top-k latency over the cached
+                  block index (p95 headline)
+  bm25_exact    — exact-join scorer over the same queries (reference
+                  point for the WAND speedup)
+  dedup_minhash — MinHash LSH near-dup pass
+  ann_topk      — brute-force cosine top-k, 5 query vectors
+  window_agg    — tumbling-window event rollup
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.gate import GATE_QUERIES, _queries_df
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.index.codec import build_block_index
+from solr_indexer_spark.operators.dedup import dedup_minhash_lsh
+from solr_indexer_spark.operators.similarity import ann_brute_topk
+from solr_indexer_spark.query.scorer import topk
+from solr_indexer_spark.query.wand import topk_wand
+from solr_indexer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# work amplification for the scaling experiment (same docs, new ids)
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "1"))
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if REPLICATE > 1:
+        docs = (docs.crossJoin(
+            spark.range(REPLICATE).withColumnRenamed("id", "_rep"))
+            .withColumn("doc_id",
+                        F.col("doc_id") * REPLICATE + F.col("_rep"))
+            .drop("_rep"))
+    docs = docs.cache()
+    n_docs = docs.count()
+
+    # --- index build (headline throughput) ---
+    t0 = time.perf_counter()
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=max(n_docs // (CPUS * 2), 512))
+    _noop(bindex.blocks)
+    timings["index_build"] = time.perf_counter() - t0
+    docs_per_sec = n_docs / timings["index_build"]
+
+    # cache the index for the query benches; coalesce the (small after
+    # compression) block table so per-query jobs launch few tasks
+    bindex.blocks = bindex.blocks.coalesce(max(CPUS // 4, 4)).cache()
+    bindex.blocks.count()
+    bindex.term_meta = bindex.meta().cache()
+    bindex.term_meta.count()
+    index.postings = index.postings.cache()
+    index.postings.count()
+    index.term_stats = index.term_stats.cache()
+    index.term_stats.count()
+    index.corpus_stats = index.corpus_stats.cache()
+    index.corpus_stats.count()
+
+    # --- query latencies (steady-state: one unrecorded warmup spins up
+    # the Arrow python workers) ---
+    qdf = _queries_df(spark)
+    topk_wand(qdf.limit(1), bindex).collect()
+    q_times = []
+    for qid, qtext, k in GATE_QUERIES:
+        one = qdf.filter(F.col("query_id") == qid)
+        t0 = time.perf_counter()
+        topk_wand(one, bindex).collect()
+        dt = time.perf_counter() - t0
+        timings[f"wand_q{qid}"] = dt
+        q_times.append(dt)
+    q_times.sort()
+    p95 = q_times[max(int(len(q_times) * 0.95) - 1, 0)]
+
+    t0 = time.perf_counter()
+    topk(qdf, index).collect()
+    timings["bm25_exact_all"] = time.perf_counter() - t0
+
+    # --- curation operators ---
+    t0 = time.perf_counter()
+    _noop(dedup_minhash_lsh(docs, n_hashes=16, bands=4, threshold=0.5))
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_vec_id")
+    t0 = time.perf_counter()
+    ann_brute_topk(embs, qs, k=10).collect()
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = time.perf_counter()
+    _noop(events.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"),
+                         "event_type")
+          .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
+    timings["window_agg"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_all
+    print(json.dumps({
+        "metric": "index_build_and_query_bench",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "query_p95_ms": round(p95 * 1000, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

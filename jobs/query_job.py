@@ -1,0 +1,51 @@
+"""spark-submit entry point: BM25 top-k over a built index.
+
+  spark-submit --py-files solr_indexer_spark.zip jobs/query_job.py \\
+      --index /data/index \\
+      --query "climate data" [--k 10] [--output /data/hits]
+
+Prints (or writes) (query_id, doc_id, score, rank); joins back the
+original id column when the build produced a doc_map.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.plans.resume import ResumableIndexBuild
+from solr_indexer_spark.query.wand import topk_wand
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True,
+                    help="repeatable; one top-k run per query")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.getOrCreate()
+    bindex = ResumableIndexBuild(args.index).load(spark)
+    queries = spark.createDataFrame(
+        [(i, q, args.k) for i, q in enumerate(args.query)],
+        "query_id int, query_text string, k int")
+    hits = topk_wand(queries, bindex)
+    try:
+        doc_map = spark.read.parquet(f"{args.index}/doc_map")
+        hits = hits.join(F.broadcast(doc_map), "doc_id", "left")
+    except Exception:
+        pass  # doc_id-keyed build: no map
+    if args.output:
+        hits.write.mode("overwrite").parquet(args.output)
+    else:
+        hits.show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,14 +68,16 @@ def build_index(docs: DataFrame, id_col: str = "url",
     toks = docs.select(F.col(id_col), tokenize_col(text_col).alias("_toks"))
     doc_stats = toks.select(F.col(id_col), F.size("_toks").alias("dl"))
 
-    flat = toks.select(F.col(id_col), F.explode("_toks").alias("term"))
-    postings_raw = (flat.groupBy("term", id_col)
-                    .agg(F.count("*").alias("tf")))
-    # denormalize dl into the postings (Lucene-norms analogue)
-    postings = postings_raw.join(doc_stats, id_col).select(
-        "term", id_col, "tf", "dl")
+    # dl rides through the explode: (term, id, dl) has the same group
+    # cardinality as (term, id) — the Lucene-norms denormalization costs
+    # no extra shuffle and removes a postings⋈doc_stats join entirely
+    flat = toks.select(F.col(id_col), F.size("_toks").alias("dl"),
+                       F.explode("_toks").alias("term"))
+    postings = (flat.groupBy("term", id_col, "dl")
+                .agg(F.count("*").alias("tf"))
+                .select("term", id_col, "tf", "dl"))
 
-    term_stats = (postings_raw.groupBy("term")
+    term_stats = (postings.groupBy("term")
                   .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
     corpus_stats = doc_stats.agg(
         F.count("*").alias("n_docs"),

@@ -144,7 +144,9 @@ BLOCKS_SCHEMA = T.StructType([
 @dataclass
 class BlockIndex:
     """Compressed index handle: blocks + the stats tables it shares
-    with the logical index."""
+    with the logical index. ``term_meta`` (term → df, cf, global
+    max_tfnorm) is derived from block headers alone and is the only
+    thing the query planner reads before touching postings."""
 
     blocks: DataFrame
     term_stats: DataFrame
@@ -153,6 +155,14 @@ class BlockIndex:
     id_col: str                    # original id column name
     n_docs: int
     avgdl: float
+    term_meta: DataFrame | None = None
+
+    def meta(self) -> DataFrame:
+        if self.term_meta is None:
+            self.term_meta = (self.blocks.groupBy("term").agg(
+                F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+                F.max("max_tfnorm").alias("max_tfnorm")))
+        return self.term_meta
 
 
 def _make_encoder(avgdl: float):

@@ -50,10 +50,14 @@ def score_exact(queries: DataFrame, index: InvertedIndex) -> DataFrame:
 
 
 def topk(queries: DataFrame, index: InvertedIndex,
-         default_k: int = 10) -> DataFrame:
+         default_k: int = 10, tombstones: DataFrame | None = None) -> DataFrame:
     """(query_id, <id>, score, rank) — reference default rows=10
-    (solrindexer/search.py:133)."""
+    (solrindexer/search.py:133). ``tombstones`` (1-column id frame from
+    DocTable deletes) is excluded BEFORE ranking — Lucene deleted-docs
+    bitmap semantics, no index rebuild after deletes."""
     scored = score_exact(queries, index)
+    if tombstones is not None:
+        scored = scored.join(F.broadcast(tombstones), index.id_col, "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col(index.id_col).asc())
     ks = queries.select("query_id", "k")

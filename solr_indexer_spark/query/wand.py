@@ -3,41 +3,51 @@ path (the engine-side replacement for Lucene's block-max WAND).
 
 Distributed shape (and why it is exact):
 
-1. **Prune to query terms.** The blocks table is joined to the
-   broadcast query-term table — only blocks of query terms are ever
-   read (with the term-bucketed physical layout this is partition-level
-   pruning, the scan never touches other terms' files).
+1. **Driver-side query planning.** Queries are tiny by definition; they
+   are tokenized on the driver with the SAME pinned analyzer the index
+   used (the 3-way identity test in tests/test_analysis.py is what
+   makes this legal), and per-term statistics are fetched with a single
+   narrow lookup into ``term_meta`` (term → df, cf, global max_tfnorm,
+   derived from block headers alone). idf, per-term weights
+   w = qtf·idf, term upper bounds t_ub = w·max_tfnorm, the per-query
+   bound Σt_ub, and the champion term all come out as plain Python —
+   zero Spark jobs. This keeps per-query latency at 2–3 Spark jobs
+   total instead of a job per planning step.
 
-2. **Pass A — threshold seeding.** For each query, the champion term
-   (max qtf·idf·shard-max-tfnorm — the rarest/highest-impact term) is
-   decoded and scored exactly; the k-th best single-term partial score
-   is a valid *lower bound* θ₀ of the final k-th score (BM25 sums
+2. **Pass A — threshold seeding / single-term fast path.** The
+   champion term (max t_ub — the rarest/highest-impact term) is decoded
+   and scored exactly. For single-term queries this IS the answer (one
+   job). For multi-term queries the k-th best champion partial is a
+   valid *lower bound* θ₀ of the final k-th score (BM25 sums
    non-negative contributions, so any doc's final score ≥ its champion
    partial).
 
 3. **Pass B — block-max pruning.** A block b of term t can only
    contain a top-k doc if
-       ub(b) = qtf_t·idf_t·max_tfnorm(b) + Σ_{t'≠t} qtf·idf·max_tfnorm(t')
+       ub(b) = w_t·max_tfnorm(b) + Σ_{t'≠t} t_ub(t')
    reaches θ₀. For any doc d in block b, ub(b) ≥ score(d); hence every
-   block holding a true top-k doc survives, every surviving doc is
-   scored over ALL its surviving term blocks, i.e. exactly; pruned docs
-   are only ever under-scored and can never displace a true top-k doc
-   (ties break on doc_id identically in either order). Exactness holds
-   per-query regardless of sharding.
+   block holding a true top-k doc survives, every surviving top-k doc
+   is scored over ALL its blocks (i.e. exactly); pruned docs are only
+   ever under-scored and can never displace a true top-k doc (ties
+   break on doc_id identically in either order). Exactness holds
+   regardless of sharding.
 
 4. **Bounded-heap top-k.** Surviving blocks are decoded in a
-   vectorized Arrow pass, partial scores summed per (query, doc), and
-   ranked under the same contract as the exact scorer
-   (round(score, 6) DESC, doc_id ASC). Spark's rank-limit pushdown
-   (WindowGroupLimitExec) maintains the per-partition bounded heap
-   before the final merge, so no partition materializes more than k
-   rows per query.
+   vectorized Arrow pass (numpy varbyte, index/codec.py), partial
+   scores summed per (query, doc), and ranked under the same contract
+   as the exact scorer (round(score, 6) DESC, doc_id ASC). Spark's
+   rank-limit pushdown (WindowGroupLimitExec) maintains the
+   per-partition bounded heap before the final merge.
 
-The blocks' (first_doc, last_doc) skip pointers bound each decode to
-one 128-doc block; decoding is numpy varbyte (index/codec.py).
+Scale: the blocks table is term-bucketed on disk, so the ``term IN ...``
+filter prunes at partition/row-group level; only query-term blocks are
+ever read; the doc-range sharding means the decode pass parallelizes
+over shards with all terms of a query co-present in each.
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -45,7 +55,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis import SCORE_DECIMALS, idf_col, tokenize_col
+from ..analysis import SCORE_DECIMALS, idf_py, tokenize_py
 from ..index.codec import BlockIndex, decode_posting_block
 
 _PARTIAL_SCHEMA = T.StructType([
@@ -54,11 +64,12 @@ _PARTIAL_SCHEMA = T.StructType([
     T.StructField("s", T.DoubleType(), False),
 ])
 
+_OUT_SCHEMA = "query_id int, doc_id long, score double, rank int"
+
 
 def _score_blocks_map(it):
-    """Arrow pass: rows (query_id, w=qtf·idf, docs, tfs, dls, avgdl-frozen
-    max_tfnorm precomputed at encode time is not needed here — scores are
-    recomputed exactly from tf/dl) → (query_id, doc_id, s)."""
+    """Arrow decode pass: rows (query_id, w, docs, tfs, dls, avgdl) →
+    (query_id, doc_id, s) with s = w · tfnorm(tf, dl)."""
     from .. import B, K1
     for pdf in it:
         qids, docs_out, s_out = [], [], []
@@ -78,70 +89,134 @@ def _score_blocks_map(it):
             })
 
 
-def _query_terms(queries: DataFrame, bindex: BlockIndex) -> DataFrame:
-    qt = (queries
-          .select("query_id", "k",
-                  F.explode(tokenize_col("query_text")).alias("term"))
-          .groupBy("query_id", "k", "term").agg(F.count("*").alias("qtf")))
-    return (qt.join(bindex.term_stats.select("term", "df"), "term")
-            .withColumn("idf", idf_col(F.col("df"), F.lit(bindex.n_docs)))
-            .withColumn("w", F.col("qtf") * F.col("idf")))
+def _rank_and_limit(scored: DataFrame, k_map: dict,
+                    tombstones: DataFrame | None) -> DataFrame:
+    if tombstones is not None:
+        # deleted-docs bitmap semantics: excluded before ranking
+        scored = scored.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col("doc_id").asc())
+    k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
+                           for qid, k in k_map.items()] + [F.lit(10)]))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_expr)
+            .select("query_id", "doc_id", "score", "rank")
+            .orderBy("query_id", "rank"))
+
+
+# below this many postings across a query's terms, the θ-seeding pass
+# costs more (one extra Spark job) than the decode it would prune
+THETA_MIN_POSTINGS = 200_000
 
 
 def topk_wand(queries: DataFrame, bindex: BlockIndex,
-              default_k: int = 10) -> DataFrame:
+              default_k: int = 10,
+              tombstones: DataFrame | None = None,
+              theta_min_postings: int = THETA_MIN_POSTINGS) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exact
-    scorer (and the oracle), but reading only surviving blocks."""
+    scorer (and the oracle), reading only surviving blocks."""
     spark = queries.sparkSession
-    qterms = _query_terms(queries, bindex).cache()
 
-    # blocks of query terms only (scan pruning), weighted
-    qblocks = (bindex.blocks
-               .join(F.broadcast(qterms.select("query_id", "k", "term", "w")), "term")
-               .withColumn("avgdl", F.lit(bindex.avgdl)))
+    # ---- driver-side planning (no Spark jobs) --------------------------
+    qrows = queries.select("query_id", "query_text", "k").collect()
+    specs = []   # (query_id, {term: qtf}, k)
+    for r in qrows:
+        toks = tokenize_py(r["query_text"])
+        if toks:
+            specs.append((int(r["query_id"]), Counter(toks),
+                          int(r["k"]) if r["k"] is not None else default_k))
+    empty = spark.createDataFrame([], _OUT_SCHEMA)
+    if not specs:
+        return empty
 
-    # per (query, term) global max block bound
-    tmax = (qblocks.groupBy("query_id", "term", "w")
-            .agg(F.max("max_tfnorm").alias("mt"))
-            .withColumn("t_ub", F.col("w") * F.col("mt")))
-    total_ub = tmax.groupBy("query_id").agg(F.sum("t_ub").alias("sum_ub"))
+    all_terms = sorted({t for _, c, _ in specs for t in c})
+    meta = {r["term"]: r for r in
+            bindex.meta().filter(F.col("term").isin(all_terms)).collect()}
 
-    # pass A: champion term per query → exact single-term partials → θ₀
-    wch = Window.partitionBy("query_id").orderBy(
-        F.col("t_ub").desc(), F.col("term").asc())
-    champion = (tmax.withColumn("_r", F.row_number().over(wch))
-                .filter(F.col("_r") == 1).select("query_id", "term"))
-    champ_blocks = qblocks.join(F.broadcast(champion), ["query_id", "term"])
-    champ_partials = champ_blocks.select(
-        "query_id", "w", "docs", "tfs", "dls", "avgdl"
-    ).mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-    wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
-    theta = (champ_partials.withColumn("_r", F.row_number().over(wk))
-             .join(F.broadcast(queries.select("query_id", "k")), "query_id")
-             .filter(F.col("_r") == F.coalesce(F.col("k"), F.lit(default_k)))
-             .select("query_id", F.col("s").alias("theta0")))
+    plans = []   # (qid, k, {term: w}, champion, total_ub)
+    for qid, counts, k in specs:
+        terms = {t: qtf for t, qtf in counts.items() if t in meta}
+        if not terms:
+            continue
+        w = {t: qtf * idf_py(int(meta[t]["df"]), bindex.n_docs)
+             for t, qtf in terms.items()}
+        t_ub = {t: w[t] * float(meta[t]["max_tfnorm"]) for t in terms}
+        champion = max(sorted(t_ub), key=lambda t: t_ub[t])
+        plans.append((qid, k, w, champion, sum(t_ub.values()), t_ub))
+    if not plans:
+        return empty
 
-    # pass B: block-level union bound vs θ₀
-    pruned = (qblocks
-              .join(F.broadcast(tmax.select("query_id", "term", "t_ub")),
-                    ["query_id", "term"])
-              .join(F.broadcast(total_ub), "query_id")
-              .join(F.broadcast(theta), "query_id", "left")
-              .withColumn("block_ub",
-                          F.col("sum_ub") - F.col("t_ub") + F.col("w") * F.col("max_tfnorm"))
-              .filter(F.col("theta0").isNull() |
-                      (F.col("block_ub") >= F.col("theta0"))))
+    k_map = {qid: k for qid, k, *_ in plans}
+    avgdl = bindex.avgdl
 
-    partials = pruned.select(
-        "query_id", "w", "docs", "tfs", "dls", "avgdl"
-    ).mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-    scored = partials.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    def qterms_df(rows):
+        return spark.createDataFrame(
+            rows, "query_id int, term string, w double")
 
-    wr = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col("doc_id").asc())
-    out = (scored.withColumn("rank", F.row_number().over(wr))
-           .join(F.broadcast(queries.select("query_id", "k")), "query_id")
-           .filter(F.col("rank") <= F.coalesce(F.col("k"), F.lit(default_k)))
-           .drop("k")
-           .orderBy("query_id", "rank"))
-    return out
+    def postings_volume(plan):
+        return sum(int(meta[t]["df"]) for t in plan[2])
+
+    # single-term queries AND small multi-term queries take the one-job
+    # path (adaptive: θ-seeding only pays off once decode volume is big)
+    single = [p for p in plans if len(p[2]) == 1]
+    small_multi = [p for p in plans if len(p[2]) > 1
+                   and postings_volume(p) < theta_min_postings]
+    multi = [p for p in plans if len(p[2]) > 1
+             and postings_volume(p) >= theta_min_postings]
+    results = []
+
+    # ---- one-job path: decode all query-term blocks, no θ pass --------
+    unpruned = single + small_multi
+    if unpruned:
+        qt = qterms_df([(qid, t, wt) for qid, _, w, *_ in unpruned
+                        for t, wt in w.items()])
+        blk = (bindex.blocks.join(F.broadcast(qt), "term")
+               .withColumn("avgdl", F.lit(avgdl)))
+        partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
+            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+        scored = partials.groupBy("query_id", "doc_id") \
+            .agg(F.sum("s").alias("score"))
+        results.append(_rank_and_limit(scored, k_map, tombstones))
+
+    # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
+    if multi:
+        champ_qt = qterms_df([(qid, champ, w[champ])
+                              for qid, _, w, champ, _, _ in multi])
+        cblk = (bindex.blocks.join(F.broadcast(champ_qt), "term")
+                .withColumn("avgdl", F.lit(avgdl)))
+        cpart = cblk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
+            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+        wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
+        k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
+                               for qid, k in k_map.items()] + [F.lit(10)]))
+        theta_rows = (cpart.withColumn("_r", F.row_number().over(wk))
+                      .filter(F.col("_r") == k_expr)
+                      .select("query_id", "s").collect())
+        theta = {r["query_id"]: r["s"] for r in theta_rows}
+
+        # block-level union bound, computed with literal per-(query,term)
+        # slack = θ₀ - Σ_{t'≠t} t_ub(t'): block survives iff
+        # w·max_tfnorm(b) ≥ slack
+        qt_rows, slack_rows = [], []
+        for qid, k, w, champ, total_ub, t_ub in multi:
+            th = theta.get(qid)
+            for t, wt in w.items():
+                slack = (th - (total_ub - t_ub[t])) if th is not None else None
+                qt_rows.append((qid, t, wt,
+                                float(slack) if slack is not None else None))
+        qt = spark.createDataFrame(
+            qt_rows, "query_id int, term string, w double, slack double")
+        blk = (bindex.blocks.join(F.broadcast(qt), "term")
+               .filter(F.col("slack").isNull() |
+                       (F.col("w") * F.col("max_tfnorm") >= F.col("slack")))
+               .withColumn("avgdl", F.lit(avgdl)))
+        partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
+            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+        scored = partials.groupBy("query_id", "doc_id") \
+            .agg(F.sum("s").alias("score"))
+        results.append(_rank_and_limit(scored, k_map, tombstones))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("query_id", "rank")

@@ -1,0 +1,78 @@
+"""DocTable ops semantics: delete-by-id/query, atomic update (MERGE),
+realtime get, ping/status, tombstones consumed by the query paths
+(Lucene deleted-docs bitmap analogue), parent-integrity pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.index.codec import build_block_index
+from solr_indexer_spark.operators.doctable import DocTable, mark_parents
+from solr_indexer_spark.query.scorer import topk
+from solr_indexer_spark.query.wand import topk_wand
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = DocTable(spark, str(tmp_path / "docs"), id_col="doc_id")
+    t.write(spark.read.parquet(f"{SF}/documents.parquet"))
+    return t
+
+
+def test_realtime_get_and_status(table):
+    rows = table.realtime_get(42)
+    assert len(rows) == 1 and rows[0]["doc_id"] == 42
+    st = table.status()
+    assert st["version"] == 0 and st["n_rows"] == 500 and st["bytes"] > 0
+
+
+def test_delete_by_id_and_query(table):
+    assert table.delete_ids([1, 2, 999999]) == 2
+    assert table.realtime_get(1) == []
+    n = table.delete_where("lang = 'zh'")
+    assert n > 0
+    assert table.current().filter("lang = 'zh'").count() == 0
+    st = table.status()
+    assert st["n_tombstones"] == 2 + n and st["version"] == 2
+
+
+def test_atomic_update_merge(table, spark):
+    ids = spark.createDataFrame([(10,), (20,), (999999,)], "doc_id long")
+    matched = table.update_set(ids, {"isParent": True})
+    assert matched == 2
+    cur = table.current()
+    assert cur.filter(F.col("isParent")).count() == 2
+    # second update is idempotent and preserves previous flags
+    matched = table.update_set(
+        spark.createDataFrame([(30,)], "doc_id long"), {"isParent": True})
+    assert matched == 1
+    assert table.current().filter(F.col("isParent")).count() == 3
+
+
+def test_tombstones_respected_by_both_query_paths(table, spark):
+    docs = table.current()
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=4096)
+    q = spark.createDataFrame([(1, "batch", 5)],
+                              "query_id int, query_text string, k int")
+    before = [r["doc_id"] for r in topk(q, index).collect()]
+    victim = before[0]
+    table.delete_ids([victim])
+    ts = table.tombstones()
+    after_exact = [r["doc_id"] for r in topk(q, index, tombstones=ts).collect()]
+    after_wand = [r["doc_id"] for r in topk_wand(q, bindex, tombstones=ts).collect()]
+    assert victim not in after_exact and victim not in after_wand
+    assert after_exact == after_wand
+    assert len(after_exact) == 5          # k refilled from below
+
+
+def test_mark_parents_integrity(table, spark):
+    refs = spark.createDataFrame(
+        [(0,), (10,), (998,), (999,)], "related_dataset_id long")
+    out = mark_parents(table, refs)
+    assert out["marked"] == 2
+    assert out["unresolved"] == [998, 999]
+    assert {r["doc_id"] for r in
+            table.current().filter(F.col("isParent")).collect()} == {0, 10}

@@ -54,12 +54,15 @@ def test_block_roundtrip_equals_raw_postings(spark, docs, shard_range):
 
 
 @pytest.mark.parametrize("shard_range", [128, 300, 10**6])
-def test_wand_rank_identical(spark, docs, qdf, shard_range):
+@pytest.mark.parametrize("theta_min", [0, 10**9])
+def test_wand_rank_identical(spark, docs, qdf, shard_range, theta_min):
+    """theta_min=0 forces the θ-seeded pruned path; 10^9 forces the
+    one-job unpruned path — both must be rank-identical to exact."""
     index = build_index(docs, id_col="doc_id")
     bindex = build_block_index(index, shard_range=shard_range)
 
     exact = topk(qdf, index).collect()
-    fast = topk_wand(qdf, bindex).collect()
+    fast = topk_wand(qdf, bindex, theta_min_postings=theta_min).collect()
 
     def keyed(rows):
         out = {}
@@ -77,7 +80,7 @@ def test_wand_rank_identical_to_oracle(spark, docs, qdf):
         [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()])
     index = build_index(docs, id_col="doc_id")
     bindex = build_block_index(index, shard_range=256)
-    fast = topk_wand(qdf, bindex).collect()
+    fast = topk_wand(qdf, bindex, theta_min_postings=0).collect()
     by_q = {}
     for r in fast:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
