@@ -63,10 +63,22 @@ def main() -> None:
     # --- index build (headline throughput) ---
     t0 = time.perf_counter()
     index = build_index(docs, id_col="doc_id")
-    bindex = build_block_index(index, shard_range=max(n_docs // (CPUS * 2), 512))
+    # shard_range fixed (not CPU-derived) so runs at different
+    # parallelism levels do identical work — required for the scaling
+    # efficiency comparison
+    bindex = build_block_index(index, shard_range=2048)
     _noop(bindex.blocks)
     timings["index_build"] = time.perf_counter() - t0
     docs_per_sec = n_docs / timings["index_build"]
+
+    if os.environ.get("BENCH_BUILD_ONLY"):
+        print(json.dumps({
+            "metric": "index_build_only", "value": round(timings["index_build"], 3),
+            "unit": "sec", "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": SF_DIR.rstrip("/").split("sf")[-1], "n_docs": n_docs,
+            "cpus": CPUS, "docs_per_sec": round(docs_per_sec, 1)}))
+        spark.stop()
+        return
 
     # cache the index for the query benches; coalesce the (small after
     # compression) block table so per-query jobs launch few tasks

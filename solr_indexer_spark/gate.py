@@ -374,6 +374,16 @@ def _md5h_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _shingle_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB rendering of the distinct word-n-gram shingle set."""
+    tok = tokenize_sql(text_expr)
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (f"(SELECT CASE WHEN len(toks) >= {n} THEN "
+            f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+            f"i -> {gram})) ELSE [] END "
+            f"FROM (SELECT {tok} AS toks) _sh)")
+
+
 def _minhash_sql() -> str:
     from .operators.dedup import MERSENNE, _minhash_params
     p = MERSENNE
@@ -388,7 +398,7 @@ def _minhash_sql() -> str:
         for bi in range(4))
     return f"""
 WITH tok AS (
-  SELECT doc_id AS id, list_distinct({tokenize_sql('text')}) AS tokset
+  SELECT doc_id AS id, {_shingle_sql('text', 3)} AS tokset
   FROM documents
 ),
 hs AS (

@@ -106,18 +106,29 @@ def _minhash_params(n_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7 * i + 1) for i in range(n_hashes)]
 
 
-def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
-                      n_hashes: int = 16) -> DataFrame:
-    """(id, sig array<long>) — MinHash over distinct tokens.
+def _shingle_set(text_col, shingle_n: int):
+    """Distinct shingles (word n-grams); n=1 → distinct tokens."""
+    if shingle_n == 1:
+        return F.array_distinct(tokenize_col(text_col))
+    return shingles_col(text_col, shingle_n)
 
-    Relational formulation: explode distinct tokens, md5-hash each
-    exactly ONCE per (id, token) row, then n_hashes plain ``min``
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>) — MinHash over distinct word shingles
+    (shingle→minhash, the standard pipeline: shingles are
+    discriminative where raw unigrams collide — with a small vocabulary
+    unigram signatures degenerate and LSH becomes all-pairs; measured
+    exactly that at sf0.1).
+
+    Relational formulation: explode distinct shingles, md5-hash each
+    exactly ONCE per (id, shingle) row, then n_hashes plain ``min``
     aggregates (whole-stage-codegen'd, map-side combinable — the
     shuffle carries one partially-minimized row per doc per partition).
     Array-lambda formulations measured 3-15× slower: per-element
     Catalyst lambda evaluation re-derived md5 or rebuilt arrays."""
     tok = docs.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(tokenize_col(F.col("text"))))
+                      F.explode(_shingle_set(F.col("text"), shingle_n))
                       .alias("t"))
     h = tok.select("id", F.pmod(md5_hash60(F.col("t")), F.lit(MERSENNE)).alias("h"))
     mins = h.groupBy("id").agg(*[
@@ -130,12 +141,12 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
     """(a, b, j) pairs: candidates collide in ≥1 LSH band, then exact
-    distinct-token Jaccard ≥ threshold is verified. Deterministic:
+    shingle-set Jaccard ≥ threshold is verified. Deterministic:
     the same pairs fall out in any engine computing the same hashes."""
     r = n_hashes // bands
-    sigs = minhash_signature(docs, id_col, n_hashes)
+    sigs = minhash_signature(docs, id_col, n_hashes, shingle_n)
     band_rows = sigs.select(
         "id",
         F.explode(F.array(*[
@@ -150,10 +161,10 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
         (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct())
-    # token sets are only materialized for the (small) candidate set —
+    # shingle sets are only materialized for the (small) candidate set —
     # the signature shuffle never carries document contents
     tok = docs.select(F.col(id_col).alias("id"),
-                      F.array_distinct(tokenize_col(F.col("text"))).alias("tokset"))
+                      _shingle_set(F.col("text"), shingle_n).alias("tokset"))
     verified = (cands
                 .join(tok.select(F.col("id").alias("a"), F.col("tokset").alias("ta")), "a")
                 .join(tok.select(F.col("id").alias("b"), F.col("tokset").alias("tb")), "b")

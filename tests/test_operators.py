@@ -76,7 +76,7 @@ def test_known_near_duplicates_found(spark, docs):
     # construction; both candidate pipelines must agree on high-overlap
     # pairs they both consider
     mh = {(r["a"], r["b"]) for r in
-          dedup_minhash_lsh(docs, threshold=0.8).collect()}
+          dedup_minhash_lsh(docs, threshold=0.8, shingle_n=1).collect()}
     ng = {(r["a"], r["b"]) for r in
           dedup_ngram_jaccard(docs, n=1, threshold=0.8).collect()}
     # n=1 jaccard == distinct-token jaccard: every minhash-verified pair
