@@ -38,6 +38,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # work amplification for the scaling experiment (same docs, new ids)
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "1"))
+# text-length amplification: testdata docs are ~50 tokens; real web
+# pages are ~500+ — multiply text so per-task compute is realistic
+TEXT_MULT = int(os.environ.get("BENCH_TEXT_MULT", "1"))
 
 
 def _noop(df):
@@ -45,8 +48,12 @@ def _noop(df):
 
 
 def main() -> None:
+    # partition counts are FIXED (not CPU-derived) so runs at different
+    # parallelism levels execute identical plans — cores only change how
+    # many tasks run concurrently (the scaling-efficiency contract)
+    n_parts = int(os.environ.get("BENCH_PARTITIONS", "64"))
     spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+                      shuffle_partitions=n_parts)
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
 
@@ -57,7 +64,12 @@ def main() -> None:
             .withColumn("doc_id",
                         F.col("doc_id") * REPLICATE + F.col("_rep"))
             .drop("_rep"))
-    docs = docs.cache()
+    if TEXT_MULT > 1:
+        docs = docs.withColumn(
+            "text", F.repeat(F.concat(F.col("text"), F.lit(" ")), TEXT_MULT))
+    # a single parquet file reads as ~1 partition: without this the
+    # whole map side (tokenize/explode/partial agg) runs in one task
+    docs = docs.repartition(n_parts).cache()
     n_docs = docs.count()
 
     # --- index build (headline throughput) ---

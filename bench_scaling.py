@@ -20,10 +20,12 @@ import subprocess
 import sys
 
 
-def run_once(cpus: int, replicate: int, sf_dir: str) -> dict:
+def run_once(cpus: int, replicate: int, sf_dir: str,
+             text_mult: int = 8) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_REPLICATE=str(replicate),
+               BENCH_TEXT_MULT=str(text_mult),
                SPARK_GRAFT_SF_DIR=sf_dir,
                BENCH_BUILD_ONLY="1")
     out = subprocess.run([sys.executable, "bench.py"], env=env,
@@ -33,17 +35,39 @@ def run_once(cpus: int, replicate: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def run_interleaved(low: int, high: int, replicate: int, sf_dir: str,
+                    text_mult: int, cooldown: int) -> tuple[dict, dict]:
+    """Throttle-fair protocol (see BENCH.md): interleaved order
+    high,low,low,high — each level gets one early and one late slot —
+    with idle cooldowns between runs; best run per level wins."""
+    import time
+    results: dict[int, dict] = {}
+    for i, cpus in enumerate([high, low, low, high]):
+        if i:
+            time.sleep(cooldown)
+        r = run_once(cpus, replicate, sf_dir, text_mult)
+        print(f"  run {i}: local[{cpus}] build="
+              f"{r['queries']['index_build']:.1f}s", file=sys.stderr)
+        cur = results.get(cpus)
+        if cur is None or r["queries"]["index_build"] < cur["queries"]["index_build"]:
+            results[cpus] = r
+    return results[low], results[high]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=20)
+    ap.add_argument("--text-mult", type=int,
+                    default=int(os.environ.get("BENCH_TEXT_MULT", "8")))
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--cooldown", type=int, default=120)
     args = ap.parse_args()
 
-    lo = run_once(args.low, args.replicate, args.sf_dir)
-    hi = run_once(args.high, args.replicate, args.sf_dir)
+    lo, hi = run_interleaved(args.low, args.high, args.replicate,
+                             args.sf_dir, args.text_mult, args.cooldown)
     ratio = args.high / args.low
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     result = {
@@ -62,7 +86,8 @@ def main() -> None:
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n| index_build | {args.sf_dir} ×{args.replicate} "
-            f"({lo['n_docs']} docs) "
+            f"×{args.text_mult}-text ({lo['n_docs']} docs, "
+            f"interleaved best-of-2, cooldown {args.cooldown}s) "
             f"| local[{args.low}]: {lo['docs_per_sec']:.0f} docs/s "
             f"({lo['queries']['index_build']:.1f}s) "
             f"| local[{args.high}]: {hi['docs_per_sec']:.0f} docs/s "

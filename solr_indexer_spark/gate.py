@@ -208,6 +208,46 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def q_doi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DOI regex extraction (SURVEY P13, solrindexer/mmd.py:1121-1131)
+    # over a synthesized citation column
+    from .functions.scalars import extract_doi
+    cite = F.concat(F.lit("see doi:10."), (F.col("doc_id") + 1000).cast("string"),
+                    F.lit("/item."), F.col("source"), F.lit(" for data"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", extract_doi(cite).alias("doi"))
+            .orderBy("doc_id"))
+
+
+def q_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # start>end sanity gate (SURVEY P8, solrindexer/indexer.py:177-222)
+    from .functions.scalars import temporal_range_valid
+    e = _events(spark, sf_dir)
+    start = F.timestamp_seconds(F.col("value"))
+    end = F.timestamp_seconds(F.lit(200.0) - F.col("value"))
+    valid = temporal_range_valid(start, end)
+    return (e.groupBy("event_type")
+            .agg(F.count(F.when(valid, 1)).alias("n_valid"),
+                 F.count(F.when(~valid, 1)).alias("n_invalid"))
+            .orderBy("event_type"))
+
+
+def q_date_range_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # '[start TO end]' DateRangeField compose (solrindexer/mmd.py:407-428);
+    # events with value > 400 get an open end ('*')
+    from .functions.scalars import date_range_string
+    e = _events(spark, sf_dir)
+    start_z = F.date_format(F.col("ts").cast("timestamp"),
+                            "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    end_z = F.when(F.col("value") <= 400,
+                   F.date_format(F.col("ts").cast("timestamp")
+                                 + F.expr("INTERVAL 1 HOUR"),
+                                 "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    return (e.select("event_id",
+                     date_range_string(start_z, end_z).alias("dr"))
+            .orderBy("event_id"))
+
+
 # ---------------------------------------------------------------------------
 # Point ops: realtime get, delete-by-query (SURVEY S10 / S7)
 # ---------------------------------------------------------------------------
@@ -633,6 +673,9 @@ QUERIES = {
     "validation_ledger": q_validation_ledger,
     "id_normalize": q_id_normalize,
     "date_normalize": q_date_normalize,
+    "doi_extract": q_doi_extract,
+    "temporal_filter": q_temporal_filter,
+    "date_range_strings": q_date_range_strings,
     "realtime_get": q_realtime_get,
     "delete_by_query": q_delete_by_query,
     "parent_unresolved": q_parent_unresolved,
@@ -688,6 +731,31 @@ ORACLE_SQL = {
     """,
     "date_normalize": """
         SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_z
+        FROM events ORDER BY event_id
+    """,
+    "doi_extract": """
+        SELECT doc_id,
+               nullif(regexp_extract(
+                 'see doi:10.' || (doc_id + 1000)::VARCHAR || '/item.'
+                   || source || ' for data',
+                 '(10\\.\\d{4,9}/[-._;()/:A-Za-z0-9]+)', 1), '') AS doi
+        FROM documents ORDER BY doc_id
+    """,
+    "temporal_filter": """
+        SELECT event_type,
+               count(*) FILTER (WHERE to_timestamp(value)
+                                <= to_timestamp(200.0 - value)) AS n_valid,
+               count(*) FILTER (WHERE to_timestamp(value)
+                                > to_timestamp(200.0 - value)) AS n_invalid
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "date_range_strings": """
+        SELECT event_id,
+               '[' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' TO '
+                   || coalesce(CASE WHEN value <= 400
+                        THEN strftime(ts + INTERVAL 1 HOUR,
+                                      '%Y-%m-%dT%H:%M:%SZ') END, '*')
+                   || ']' AS dr
         FROM events ORDER BY event_id
     """,
     "realtime_get": """

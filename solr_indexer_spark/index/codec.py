@@ -51,12 +51,14 @@ DEFAULT_SHARD_RANGE = BLOCK * 1024   # docs per shard; ~8k blocks of head term
 # varbyte — vectorized numpy encode/decode (no per-value Python loop)
 # ---------------------------------------------------------------------------
 
-def vb_encode(vals: np.ndarray) -> bytes:
+def vb_encode_with_lens(vals: np.ndarray) -> tuple:
     """Varbyte-encode a uint64 array. 7 data bits per byte, MSB set on
-    continuation bytes (little-endian groups)."""
+    continuation bytes (little-endian groups). Returns (bytes,
+    per-value byte lengths) so callers can slice value ranges out of
+    one encoded stream without re-encoding."""
     v = np.asarray(vals, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, np.int64)
     lens = np.ones(v.size, np.int64)
     tmp = v >> np.uint64(7)
     while (tmp > 0).any():
@@ -75,7 +77,11 @@ def vb_encode(vals: np.ndarray) -> bytes:
         rem[alive] >>= np.uint64(7)
         alive = alive[more]
         r += 1
-    return out.tobytes()
+    return out.tobytes(), lens
+
+
+def vb_encode(vals: np.ndarray) -> bytes:
+    return vb_encode_with_lens(vals)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
@@ -165,22 +171,48 @@ class BlockIndex:
         return self.term_meta
 
 
-def _make_encoder(avgdl: float):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        d = pdf["doc_id"].to_numpy(np.int64)
-        tf = pdf["tf"].to_numpy(np.int64)
-        dl = pdf["dl"].to_numpy(np.int64)
-        rows = []
-        for bi, s in enumerate(range(0, d.size, BLOCK)):
-            e = min(s + BLOCK, d.size)
-            first, last, n, stf, db, tb, lb, mx = encode_posting_block(
-                d[s:e], tf[s:e], dl[s:e], avgdl)
-            rows.append((term, shard, bi, first, last, n, stf, db, tb, lb, mx))
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
-    return encode_group
+def encode_group_blocks(term: str, shard: int, d: np.ndarray,
+                        tf: np.ndarray, dl: np.ndarray,
+                        avgdl: float) -> list[tuple]:
+    """Encode one (term, shard) posting group into ≤BLOCK-sized block
+    rows — fully vectorized: ONE varbyte pass per stream for the whole
+    group (per-value byte lengths slice it into blocks) and reduceat
+    for per-block stats. The per-block-Python-loop formulation measured
+    ~10× slower at 100k docs (3 numpy calls per 128-value block)."""
+    n = d.size
+    if n == 0:
+        return []
+    if n > 1 and not (np.diff(d) > 0).all():
+        raise ValueError("doc_ids not strictly increasing")
+    starts = np.arange(0, n, BLOCK)
+    ends = np.minimum(starts + BLOCK, n)
+
+    deltas = np.empty(n, np.int64)
+    deltas[0] = d[0]
+    deltas[1:] = np.diff(d)
+    deltas[starts] = d[starts]          # each block restarts absolute
+
+    doc_bytes, doc_lens = vb_encode_with_lens(deltas.astype(np.uint64))
+    tf_bytes, tf_lens = vb_encode_with_lens(tf.astype(np.uint64))
+    dl_bytes, dl_lens = vb_encode_with_lens(dl.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    tff = tf.astype(np.float64)
+    tfnorm = tff / (tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+    maxes = np.maximum.reduceat(tfnorm, starts)
+    sum_tfs = np.add.reduceat(tf, starts)
+
+    rows = []
+    for bi, (s, e) in enumerate(zip(starts, ends)):
+        rows.append((term, shard, bi, int(d[s]), int(d[e - 1]), int(e - s),
+                     int(sum_tfs[bi]),
+                     doc_bytes[doc_off[s]:doc_off[e]],
+                     tf_bytes[tf_off[s]:tf_off[e]],
+                     dl_bytes[dl_off[s]:dl_off[e]],
+                     float(maxes[bi])))
+    return rows
 
 
 def assign_doc_ids(docs: DataFrame, id_col: str) -> DataFrame:
@@ -223,11 +255,60 @@ def assign_doc_ids(docs: DataFrame, id_col: str) -> DataFrame:
     return with_pid.mapInPandas(add_ids, schema=out_schema)
 
 
+def _encode_partition(avgdl: float):
+    """mapInPandas kernel: the partition is sorted by (term, shard,
+    doc_id); encode every complete (term, shard) group per Arrow batch,
+    carrying the (possibly incomplete) trailing group into the next
+    batch. One Python roundtrip per ~10k rows instead of per group —
+    per-group applyInPandas measured ~10× slower on 100k docs."""
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy(np.int64)
+        d = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        change = np.flatnonzero((terms[1:] != terms[:-1]) |
+                                (shards[1:] != shards[:-1])) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows.extend(encode_group_blocks(
+                terms[s], int(shards[s]), d[s:e], tf[s:e], dl[s:e], avgdl))
+        return pd.DataFrame(rows, columns=cols)
+
+    def gen(it):
+        carry = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy(np.int64)
+            change = np.flatnonzero((terms[1:] != terms[:-1]) |
+                                    (shards[1:] != shards[:-1])) + 1
+            last_start = int(change[-1]) if change.size else 0
+            carry = pdf.iloc[last_start:]
+            body = pdf.iloc[:last_start]
+            if len(body):
+                yield encode_groups(body)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return gen
+
+
 def build_block_index(index: InvertedIndex,
                       shard_range: int = DEFAULT_SHARD_RANGE,
                       doc_map: DataFrame | None = None) -> BlockIndex:
     """Logical index (postings with int64 id first column) → compressed
     block index. ``index.postings`` must be keyed by an integer column.
+
+    The salted repartition is ``repartition(term, shard)`` — group size
+    bounded by shard_range regardless of term frequency — followed by a
+    within-partition sort and a streaming many-groups-per-batch encode.
     """
     n_docs, avgdl = index.n_and_avgdl()
     p = index.postings.select(
@@ -236,8 +317,9 @@ def build_block_index(index: InvertedIndex,
         F.col("tf").cast("long").alias("tf"),
         F.col("dl").cast("long").alias("dl"),
     ).withColumn("shard", (F.col("doc_id") / F.lit(shard_range)).cast("long"))
-    blocks = p.groupBy("term", "shard").applyInPandas(
-        _make_encoder(avgdl), schema=BLOCKS_SCHEMA)
+    parted = (p.repartition("term", "shard")
+              .sortWithinPartitions("term", "shard", "doc_id"))
+    blocks = parted.mapInPandas(_encode_partition(avgdl), schema=BLOCKS_SCHEMA)
     return BlockIndex(blocks=blocks, term_stats=index.term_stats,
                       corpus_stats=index.corpus_stats, doc_map=doc_map,
                       id_col=index.id_col, n_docs=n_docs, avgdl=avgdl)
