@@ -98,7 +98,12 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
         F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col("doc_id").asc())
     k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
                            for qid, k in k_map.items()] + [F.lit(10)]))
+    # literal max-k filter first: Spark's rank-limit pushdown
+    # (WindowGroupLimitExec — the bounded per-partition heap) only fires
+    # on `rank <= literal`, not on the per-query dynamic k
+    max_k = max(k_map.values(), default=10)
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(max_k))
             .filter(F.col("rank") <= k_expr)
             .select("query_id", "doc_id", "score", "rank")
             .orderBy("query_id", "rank"))
