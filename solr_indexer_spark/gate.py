@@ -300,6 +300,96 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(adjacent).select("doc_id").orderBy("doc_id")
 
 
+LUCENE_GATE_Q = 'dup +value -hash'
+
+
+def q_lucene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string surface (reference search CLI syntax → Solr;
+    solrindexer/search.py:125-140): scored terms + MUST/MUST_NOT gates."""
+    from .query.parser import search_lucene
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_lucene(LUCENE_GATE_Q, docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over a result set (Solr facet.field on q=dup):
+    top-50 BM25 hits → groupBy(lang).count()."""
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    q = spark.createDataFrame([(1, "dup", 50)],
+                              "query_id int, query_text string, k int")
+    hits = topk(q, index).select("doc_id")
+    return (docs.join(F.broadcast(hits), "doc_id")
+            .groupBy("lang").agg(F.count("*").alias("n"))
+            .orderBy("lang"))
+
+
+def _lucene_sql() -> str:
+    tok = tokenize_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+gated AS (
+  SELECT doc_id FROM t
+  WHERE list_contains(toks, 'value') AND NOT list_contains(toks, 'hash')
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  WHERE tf.term IN ('dup', 'value')
+  GROUP BY tf.doc_id
+),
+s2 AS (SELECT s.doc_id, s.score FROM scored s JOIN gated USING (doc_id)),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM s2
+)
+SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+def _facet_on_hits_sql() -> str:
+    tok = tokenize_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  WHERE tf.term = 'dup'
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM scored
+)
+SELECT d.lang, count(*) AS n
+FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rnk <= 50
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -653,6 +743,8 @@ ORACLE_SQL_V2 = {
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
+    "lucene_query": q_lucene_query,
+    "facet_on_hits": q_facet_on_hits,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -689,6 +781,8 @@ ORACLE_SQL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
+    "lucene_query": _lucene_sql(),
+    "facet_on_hits": _facet_on_hits_sql(),
     "term_stats": f"""
         WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -49,9 +49,13 @@ class InvertedIndex:
     corpus_stats: DataFrame
     postings: DataFrame          # (term, id, tf, dl)
 
+    _n_avgdl: tuple | None = None
+
     def n_and_avgdl(self) -> tuple[int, float]:
-        row = self.corpus_stats.collect()[0]
-        return int(row["n_docs"]), float(row["avgdl"])
+        if self._n_avgdl is None:   # one collect per index, not per query
+            row = self.corpus_stats.collect()[0]
+            self._n_avgdl = (int(row["n_docs"]), float(row["avgdl"]))
+        return self._n_avgdl
 
 
 def tokens_with_pos(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,72 @@
+"""Query-string parser + execution: syntax parsing goldens and
+end-to-end semantics on the synthetic corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.query.parser import parse_query, search_lucene
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_query_goldens():
+    pq = parse_query('sea ice +arctic -antarctic "northern lights" lang:en')
+    assert pq.should == ["sea", "ice", "northern", "lights"]
+    assert pq.must == ["arctic"]
+    assert pq.must_not == ["antarctic"]
+    assert pq.phrases == [["northern", "lights"]]
+    assert pq.filters == [("lang", "en")]
+    assert parse_query("").should == []
+    assert parse_query('"single"').phrases == [["single"]]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    return docs, build_index(docs, id_col="doc_id")
+
+
+def test_must_and_must_not_gates(spark, corpus):
+    docs, index = corpus
+    hits = search_lucene("dup +value -hash", docs, index, k=20).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert ids
+    texts = {r["doc_id"]: r["text"] for r in
+             docs.filter(F.col("doc_id").isin(ids)).collect()}
+    from solr_indexer_spark.analysis import tokenize_py
+    for i in ids:
+        toks = tokenize_py(texts[i])
+        assert "value" in toks and "hash" not in toks
+
+
+def test_phrase_gate(spark, corpus):
+    docs, index = corpus
+    hits = search_lucene('"value table"', docs, index, k=50).collect()
+    from solr_indexer_spark.analysis import tokenize_py
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"] for r in hits}
+    expect = set()
+    for i, t in texts.items():
+        toks = tokenize_py(t)
+        if any(toks[j] == "value" and toks[j + 1] == "table"
+               for j in range(len(toks) - 1)):
+            expect.add(i)
+    assert got == expect or (len(expect) > 50 and got < expect)
+
+
+def test_field_filter(spark, corpus):
+    docs, index = corpus
+    hits = search_lucene("dup lang:zh", docs, index, k=50).collect()
+    ids = [r["doc_id"] for r in hits]
+    langs = {r["lang"] for r in
+             docs.filter(F.col("doc_id").isin(ids)).collect()}
+    assert langs <= {"zh"}
+
+
+def test_pure_filter_query_ranks_by_id(spark, corpus):
+    docs, index = corpus
+    hits = search_lucene("lang:de", docs, index, k=5).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert ids == sorted(ids) and len(ids) == 5
+    assert all(r["score"] == 0.0 for r in hits)
