@@ -290,6 +290,16 @@ def q_parent_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Phrase query (Lucene phrase semantics; positional index)
 # ---------------------------------------------------------------------------
 
+def q_phrase_via_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase, answered from the positional INDEX (Lucene-style
+    positional intersection) instead of re-scanning documents — the
+    oracle is the direct-scan formulation, so matching it proves the
+    two algorithms agree."""
+    from .index.positions import phrase_match_positions, positional_postings
+    pos = positional_postings(_docs(spark, sf_dir), id_col="doc_id")
+    return phrase_match_positions(pos, ["value", "table"], id_col="doc_id")
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("toks", tokenize_col("text"))
     adjacent = F.expr(
@@ -773,6 +783,7 @@ QUERIES = {
     "parent_unresolved": q_parent_unresolved,
     "parent_flag_update": q_parent_flag_update,
     "phrase_match": q_phrase_match,
+    "phrase_via_positions": q_phrase_via_positions,
 }
 
 _TOK = tokenize_sql("text")
@@ -874,6 +885,14 @@ ORACLE_SQL = {
         ORDER BY d.doc_id
     """,
     "phrase_match": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+        SELECT doc_id FROM t
+        WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
+              i -> toks[i] = 'value' AND toks[i + 1] = 'table')) > 0
+        ORDER BY doc_id
+    """,
+    # independent direct-scan oracle for the positional-index algorithm
+    "phrase_via_positions": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
         SELECT doc_id FROM t
         WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
