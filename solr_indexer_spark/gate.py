@@ -310,6 +310,27 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(adjacent).select("doc_id").orderBy("doc_id")
 
 
+def q_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl projection with JSON-blob parsing — the reference's Solr
+    ``[json]`` field transformers (solrindexer/search.py:46-61, P15):
+    events.props is a JSON string column; project a typed field out."""
+    e = _events(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return (e.select("event_id", parsed["k"].alias("k"))
+            .filter(F.col("k").isNotNull())
+            .orderBy("event_id"))
+
+
+def q_try_cast_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silent-skip numeric casts (solrindexer/mmd.py:971-976: invalid
+    ints skipped, no error): try_cast over a mixed synthesized column."""
+    d = _docs(spark, sf_dir)
+    mixed = F.when(F.col("doc_id") % 3 == 0, F.col("source")) \
+        .otherwise(F.col("doc_id").cast("string"))
+    return (d.select("doc_id", mixed.try_cast("long").alias("as_int"))
+            .orderBy("doc_id"))
+
+
 LUCENE_GATE_Q = 'dup +value -hash'
 
 
@@ -755,6 +776,8 @@ QUERIES = {
     "wand_topk": q_wand_topk,
     "lucene_query": q_lucene_query,
     "facet_on_hits": q_facet_on_hits,
+    "json_projection": q_json_projection,
+    "try_cast_skip": q_try_cast_skip,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -794,6 +817,17 @@ ORACLE_SQL = {
     "wand_topk": _bm25_sql(),
     "lucene_query": _lucene_sql(),
     "facet_on_hits": _facet_on_hits_sql(),
+    "json_projection": """
+        SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ORDER BY event_id
+    """,
+    "try_cast_skip": """
+        SELECT doc_id,
+               try_cast(CASE WHEN doc_id % 3 = 0 THEN source
+                             ELSE doc_id::VARCHAR END AS BIGINT) AS as_int
+        FROM documents ORDER BY doc_id
+    """,
     "term_stats": f"""
         WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

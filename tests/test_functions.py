@@ -103,6 +103,23 @@ def test_temporal_range_valid(spark):
     assert got == [True, False, True]
 
 
+def test_nested_minmax_and_chronological_sort(spark):
+    # P11/T2: earliest/latest over a nested update-history array and
+    # chronological sort (solrindexer/mmd.py:356-393)
+    df = spark.createDataFrame(
+        [([("2021-05-01T00:00:00Z", "minor"),
+           ("2019-01-01T00:00:00Z", "created"),
+           ("2020-07-01T00:00:00Z", "major")],)],
+        "updates array<struct<dt string, typ string>>")
+    out = df.select(
+        F.array_min("updates")["dt"].alias("created"),
+        F.array_max("updates")["dt"].alias("updated"),
+        F.sort_array("updates").alias("chrono")).collect()[0]
+    assert out["created"] == "2019-01-01T00:00:00Z"
+    assert out["updated"] == "2021-05-01T00:00:00Z"
+    assert [u["typ"] for u in out["chrono"]] == ["created", "major", "minor"]
+
+
 # --- spatial goldens (reference tests/test_spatial.py style) -----------
 
 def test_envelope_roundtrip(spark):
