@@ -98,6 +98,15 @@ def main() -> None:
     bindex.blocks.count()
     bindex.term_meta = bindex.meta().cache()
     bindex.term_meta.count()
+
+    # codec efficiency: varbyte block bytes vs raw fixed-width postings
+    # (doc_id 8B + tf 4B + dl 4B = 16B per posting)
+    comp = bindex.blocks.agg(
+        F.sum("n").alias("n_postings"),
+        (F.sum(F.length("docs")) + F.sum(F.length("tfs")) +
+         F.sum(F.length("dls"))).alias("compressed_bytes")).collect()[0]
+    compression_ratio = round(
+        int(comp["n_postings"]) * 16 / int(comp["compressed_bytes"]), 2)
     index.postings = index.postings.cache()
     index.postings.count()
     index.term_stats = index.term_stats.cache()
@@ -155,6 +164,8 @@ def main() -> None:
         "cpus": CPUS,
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95 * 1000, 1),
+        "n_postings": int(comp["n_postings"]),
+        "compression_ratio": compression_ratio,
     }))
     spark.stop()
 
