@@ -129,6 +129,12 @@ def main() -> None:
     q_times.sort()
     p95 = q_times[max(int(len(q_times) * 0.95) - 1, 0)]
 
+    # all 7 queries through ONE planning+decode pass — the batched
+    # throughput story (per-query Spark-job overhead amortized)
+    t0 = time.perf_counter()
+    topk_wand(qdf, bindex).collect()
+    timings["wand_all7_batched"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     topk(qdf, index).collect()
     timings["bm25_exact_all"] = time.perf_counter() - t0

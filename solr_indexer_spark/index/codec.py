@@ -144,6 +144,12 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
     T.StructField("max_tfnorm", T.DoubleType(), False),
+    # (max_tf, min_dl) give a score upper bound valid under ANY current
+    # avgdl (tfnorm is increasing in tf, decreasing in dl), so bounds
+    # stay safe when corpus stats drift (streaming appends); the stored
+    # max_tfnorm is exact only for the avgdl frozen at encode time
+    T.StructField("max_tf", T.LongType(), False),
+    T.StructField("min_dl", T.LongType(), False),
 ])
 
 
@@ -164,10 +170,21 @@ class BlockIndex:
     term_meta: DataFrame | None = None
 
     def meta(self) -> DataFrame:
+        """Per-term stats + score bound computed with THIS index's
+        current avgdl from (max_tf, min_dl) — stays a valid upper bound
+        when corpus stats drift under streaming appends (the stored
+        max_tfnorm is frozen at encode-time avgdl)."""
         if self.term_meta is None:
-            self.term_meta = (self.blocks.groupBy("term").agg(
-                F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
-                F.max("max_tfnorm").alias("max_tfnorm")))
+            from .. import B, K1
+            bound = (F.col("max_tf") /
+                     (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl")
+                                              / F.lit(self.avgdl))))
+            self.term_meta = (self.blocks
+                              .withColumn("_b", bound)
+                              .groupBy("term").agg(
+                                  F.sum("n").alias("df"),
+                                  F.sum("sum_tf").alias("cf"),
+                                  F.max("_b").alias("max_tfnorm")))
         return self.term_meta
 
 
@@ -203,6 +220,8 @@ def encode_group_blocks(term: str, shard: int, d: np.ndarray,
     tfnorm = tff / (tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
     maxes = np.maximum.reduceat(tfnorm, starts)
     sum_tfs = np.add.reduceat(tf, starts)
+    max_tfs = np.maximum.reduceat(tf, starts)
+    min_dls = np.minimum.reduceat(dl, starts)
 
     rows = []
     for bi, (s, e) in enumerate(zip(starts, ends)):
@@ -211,7 +230,7 @@ def encode_group_blocks(term: str, shard: int, d: np.ndarray,
                      doc_bytes[doc_off[s]:doc_off[e]],
                      tf_bytes[tf_off[s]:tf_off[e]],
                      dl_bytes[dl_off[s]:dl_off[e]],
-                     float(maxes[bi])))
+                     float(maxes[bi]), int(max_tfs[bi]), int(min_dls[bi])))
     return rows
 
 

@@ -211,9 +211,16 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                                 float(slack) if slack is not None else None))
         qt = spark.createDataFrame(
             qt_rows, "query_id int, term string, w double, slack double")
+        from .. import B, K1
+        # block bound from (max_tf, min_dl) with the CURRENT avgdl —
+        # valid under corpus-stat drift (streaming appends), unlike the
+        # encode-time-frozen max_tfnorm column
+        block_bound = (F.col("max_tf") /
+                       (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl")
+                                                / F.lit(avgdl))))
         blk = (bindex.blocks.join(F.broadcast(qt), "term")
                .filter(F.col("slack").isNull() |
-                       (F.col("w") * F.col("max_tfnorm") >= F.col("slack")))
+                       (F.col("w") * block_bound >= F.col("slack")))
                .withColumn("avgdl", F.lit(avgdl)))
         partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
