@@ -74,11 +74,17 @@ def _phrase_pred(toks_col, phrase: list[str]):
         f"exists(sequence(1, size(_qtoks) - {n - 1}), i -> {conds}) END")
 
 
-def search_lucene(q: str, docs: DataFrame, index, k: int = 10) -> DataFrame:
+def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
+                  pos_postings: DataFrame | None = None) -> DataFrame:
     """Run a query-string search against an InvertedIndex + its doc
     table. Returns (<id>, score, rank). Gates (must/must_not/phrase/
     field filters) restrict the candidate set; BM25 over the scored
     terms ranks it; an all-gate query (no scored terms) ranks by id.
+
+    With ``pos_postings`` (a positional index from
+    index/positions.py:positional_postings), phrase gates run as
+    index-side positional intersections — no document re-tokenization
+    (Lucene behavior); otherwise they fall back to a doc-scan predicate.
     """
     from .scorer import score_exact
     pq = parse_query(q)
@@ -86,14 +92,20 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10) -> DataFrame:
     spark = docs.sparkSession
 
     gated = docs
-    if pq.must or pq.must_not or pq.phrases:
+    scan_phrases = pq.phrases if pos_postings is None else []
+    if pq.must or pq.must_not or scan_phrases:
         gated = gated.withColumn("_qtoks", tokenize_col("text"))
         for t in pq.must:
             gated = gated.filter(F.array_contains(F.col("_qtoks"), t))
         for t in pq.must_not:
             gated = gated.filter(~F.array_contains(F.col("_qtoks"), t))
-        for ph in pq.phrases:
+        for ph in scan_phrases:
             gated = gated.filter(_phrase_pred(F.col("_qtoks"), ph))
+    if pos_postings is not None and pq.phrases:
+        from ..index.positions import phrase_match_positions
+        for ph in pq.phrases:
+            matches = phrase_match_positions(pos_postings, ph, id_col=id_col)
+            gated = gated.join(matches, id_col, "left_semi")
     for fld, val in pq.filters:
         gated = gated.filter(F.col(fld) == val)
     candidates = gated.select(F.col(id_col))

@@ -55,6 +55,18 @@ def test_phrase_gate(spark, corpus):
     assert got == expect or (len(expect) > 50 and got < expect)
 
 
+def test_phrase_via_positional_index_matches_scan(spark, corpus):
+    from solr_indexer_spark.index.positions import positional_postings
+    docs, index = corpus
+    pos = positional_postings(docs, id_col="doc_id")
+    scan = search_lucene('dup "value table"', docs, index, k=50).collect()
+    idx = search_lucene('dup "value table"', docs, index, k=50,
+                        pos_postings=pos).collect()
+    key = lambda rows: [(r["doc_id"], r["rank"], round(r["score"], 6))
+                        for r in rows]
+    assert key(idx) == key(scan)
+
+
 def test_field_filter(spark, corpus):
     docs, index = corpus
     hits = search_lucene("dup lang:zh", docs, index, k=50).collect()
