@@ -290,6 +290,19 @@ def q_parent_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Phrase query (Lucene phrase semantics; positional index)
 # ---------------------------------------------------------------------------
 
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval (Solr/Lucene AND): docs containing ALL
+    terms, via posting-list intersection on the index (two semi-joins),
+    not a document scan."""
+    index = build_index(_docs(spark, sf_dir), id_col="doc_id")
+    terms = ["key", "value", "table"]
+    result = None
+    for t in terms:
+        side = index.postings.filter(F.col("term") == t).select("doc_id")
+        result = side if result is None else result.join(side, "doc_id", "left_semi")
+    return result.orderBy("doc_id")
+
+
 def q_phrase_via_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same phrase, answered from the positional INDEX (Lucene-style
     positional intersection) instead of re-scanning documents — the
@@ -807,6 +820,7 @@ QUERIES = {
     "parent_flag_update": q_parent_flag_update,
     "phrase_match": q_phrase_match,
     "phrase_via_positions": q_phrase_via_positions,
+    "boolean_and": q_boolean_and,
 }
 
 _TOK = tokenize_sql("text")
@@ -923,6 +937,13 @@ ORACLE_SQL = {
         SELECT doc_id FROM t
         WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
               i -> toks[i] = 'value' AND toks[i + 1] = 'table')) > 0
+        ORDER BY doc_id
+    """,
+    "boolean_and": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+        SELECT doc_id FROM t
+        WHERE list_contains(toks, 'key') AND list_contains(toks, 'value')
+          AND list_contains(toks, 'table')
         ORDER BY doc_id
     """,
     # independent direct-scan oracle for the positional-index algorithm
