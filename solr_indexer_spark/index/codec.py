@@ -99,33 +99,105 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(vals7, starts).astype(np.uint64)
 
 
+# ---------------------------------------------------------------------------
+# Tagged dual-codec streams: varbyte OR frame-of-reference bit-packing.
+#
+# Stream layout: tag byte 0x00 → varbyte payload; tag 0x01 → FOR:
+#   [0x01][width:1B][n:2B LE][packed little-endian width-bit values].
+# FOR wins on dense blocks (head-term doc deltas of 1 → 1 bit/value vs
+# varbyte's 8; tf≈1 streams likewise) — the classic postings win.
+# ---------------------------------------------------------------------------
+
+TAG_VB = 0
+TAG_FOR = 1
+
+
+def _for_header(width: int, n: int) -> bytes:
+    return bytes((TAG_FOR, width, n & 0xFF, (n >> 8) & 0xFF))
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    width = buf[1]
+    n = buf[2] | (buf[3] << 8)
+    bits = np.unpackbits(np.frombuffer(buf[4:], np.uint8),
+                         bitorder="little", count=n * width)
+    mat = bits.reshape(n, width).astype(np.uint64)
+    return (mat << np.arange(width, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)
+
+
+def decode_stream(buf: bytes) -> np.ndarray:
+    """Decode a tagged stream (vb or FOR) → uint64 array."""
+    if len(buf) == 0:
+        return np.empty(0, np.uint64)
+    if buf[0] == TAG_FOR:
+        return for_decode(buf)
+    return vb_decode(buf[1:])
+
+
+def _pack_streams(values: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> list[bytes]:
+    """Encode each [starts[i], ends[i]) slice of ``values`` as a tagged
+    stream, choosing the smaller of varbyte and FOR per block.
+
+    Vectorized: ONE varbyte pass for all values; FOR packing batched by
+    (width, n) group so np.packbits runs on whole matrices, never one
+    tiny array per block."""
+    vb_bytes, vb_lens = vb_encode_with_lens(values)
+    vb_off = np.concatenate(([0], np.cumsum(vb_lens)))
+    n_blocks = starts.size
+    maxes = np.maximum.reduceat(values, starts)
+    widths = np.array([max(int(m).bit_length(), 1) for m in maxes],
+                      np.int64)
+    ns = (ends - starts).astype(np.int64)
+    vb_sizes = vb_off[ends] - vb_off[starts] + 1          # + tag byte
+    for_sizes = 4 + (ns * widths + 7) // 8
+    use_for = for_sizes < vb_sizes
+
+    out: list = [None] * n_blocks
+    for bi in np.where(~use_for)[0]:
+        out[bi] = bytes((TAG_VB,)) + vb_bytes[vb_off[starts[bi]]:vb_off[ends[bi]]]
+
+    for_idx = np.where(use_for)[0]
+    if for_idx.size:
+        keys = {}
+        for bi in for_idx:
+            keys.setdefault((int(widths[bi]), int(ns[bi])), []).append(int(bi))
+        for (width, n), bis in keys.items():
+            mat = np.stack([values[starts[bi]:ends[bi]] for bi in bis])
+            bits = ((mat[:, :, None] >> np.arange(width, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.uint8)
+            packed = np.packbits(bits.reshape(len(bis), n * width),
+                                 axis=1, bitorder="little")
+            hdr = _for_header(width, n)
+            for row, bi in enumerate(bis):
+                out[bi] = hdr + packed[row].tobytes()
+    return out
+
+
 def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray,
                          dls: np.ndarray, avgdl: float) -> tuple:
-    """One ≤BLOCK-sized block → (first, last, n, docs, tfs, dls, max_tfnorm).
-    doc_ids must be strictly increasing (raises otherwise)."""
+    """One ≤BLOCK-sized block → (first, last, n, sum_tf, docs, tfs, dls,
+    max_tfnorm). doc_ids must be strictly increasing (raises otherwise).
+    Thin single-block wrapper over the group encoder (one code path)."""
     d = np.asarray(doc_ids, np.int64)
     if d.size == 0:
         raise ValueError("empty posting block")
-    if d.size > 1 and not (np.diff(d) > 0).all():
-        raise ValueError("doc_ids not strictly increasing")
-    deltas = np.empty(d.size, np.uint64)
-    deltas[0] = np.uint64(d[0])
-    deltas[1:] = np.diff(d).astype(np.uint64)
-    tf = np.asarray(tfs, np.float64)
-    dl = np.asarray(dls, np.float64)
-    tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
-    return (int(d[0]), int(d[-1]), int(d.size), int(tf.sum()),
-            vb_encode(deltas),
-            vb_encode(np.asarray(tfs, np.uint64)),
-            vb_encode(np.asarray(dls, np.uint64)),
-            float(tfnorm.max()))
+    if d.size > BLOCK:
+        raise ValueError(f"block larger than {BLOCK}")
+    rows = encode_group_blocks("_", 0, d, np.asarray(tfs, np.int64),
+                               np.asarray(dls, np.int64), avgdl)
+    (_t, _s, _bi, first, last, n, sum_tf,
+     docs_b, tfs_b, dls_b, mx, _mt, _md) = rows[0]
+    return first, last, n, sum_tf, docs_b, tfs_b, dls_b, mx
 
 
 def decode_posting_block(docs: bytes, tfs: bytes, dls: bytes) -> tuple:
     """(doc_ids int64, tfs int64, dls int64) — inverse of encode."""
-    deltas = vb_decode(docs)
+    deltas = decode_stream(docs)
     doc_ids = np.cumsum(deltas.astype(np.int64))
-    return doc_ids, vb_decode(tfs).astype(np.int64), vb_decode(dls).astype(np.int64)
+    return (doc_ids, decode_stream(tfs).astype(np.int64),
+            decode_stream(dls).astype(np.int64))
 
 
 # ---------------------------------------------------------------------------
@@ -209,12 +281,9 @@ def encode_group_blocks(term: str, shard: int, d: np.ndarray,
     deltas[1:] = np.diff(d)
     deltas[starts] = d[starts]          # each block restarts absolute
 
-    doc_bytes, doc_lens = vb_encode_with_lens(deltas.astype(np.uint64))
-    tf_bytes, tf_lens = vb_encode_with_lens(tf.astype(np.uint64))
-    dl_bytes, dl_lens = vb_encode_with_lens(dl.astype(np.uint64))
-    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
-    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
-    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+    doc_streams = _pack_streams(deltas.astype(np.uint64), starts, ends)
+    tf_streams = _pack_streams(tf.astype(np.uint64), starts, ends)
+    dl_streams = _pack_streams(dl.astype(np.uint64), starts, ends)
 
     tff = tf.astype(np.float64)
     tfnorm = tff / (tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
@@ -227,9 +296,7 @@ def encode_group_blocks(term: str, shard: int, d: np.ndarray,
     for bi, (s, e) in enumerate(zip(starts, ends)):
         rows.append((term, shard, bi, int(d[s]), int(d[e - 1]), int(e - s),
                      int(sum_tfs[bi]),
-                     doc_bytes[doc_off[s]:doc_off[e]],
-                     tf_bytes[tf_off[s]:tf_off[e]],
-                     dl_bytes[dl_off[s]:dl_off[e]],
+                     doc_streams[bi], tf_streams[bi], dl_streams[bi],
                      float(maxes[bi]), int(max_tfs[bi]), int(min_dls[bi])))
     return rows
 
