@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extract import extract_pages, validate
+from ..extract import extract_pages, latest_wins, validate
 from ..index.codec import assign_doc_ids
 from ..plans.resume import ResumableIndexBuild
 
@@ -53,7 +53,9 @@ class StreamingIndexIngest:
     def process_batch(self, pages: DataFrame, batch_id: int) -> dict:
         """foreachBatch body — also directly callable for batch tests."""
         from ..analysis import tokenize_col
-        good, run_log = validate(extract_pages(pages))
+        # latest-wins within the batch; cross-batch recrawls need a
+        # tombstone pass (NEXT.md #5 remaining edge)
+        good, run_log = validate(latest_wins(extract_pages(pages)))
         run_log.write.mode("append").parquet(
             os.path.join(self.base_dir, "run_log"))
         st = self._state()
