@@ -80,11 +80,17 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
 def latest_wins(pages: DataFrame) -> DataFrame:
     """One row per url: max(warc_ts) wins; deterministic tie-break on
-    text_sha256 then html length. (Solr overwrite-by-id semantics.)"""
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc_nulls_last(),
-        F.col("text_sha256").desc(),
-    )
+    text_sha256, then html length, then lang. (Solr overwrite-by-id
+    semantics.) The full tie-break chain matters: two rows with equal
+    (url, warc_ts, text) but different lang/html must pick the SAME
+    winner for the non-text columns on every run."""
+    order = [F.col("warc_ts").desc_nulls_last(),
+             F.col("text_sha256").desc()]
+    if "html" in pages.columns:
+        order.append(F.length("html").desc_nulls_last())
+    if "lang" in pages.columns:
+        order.append(F.col("lang").asc_nulls_last())
+    w = Window.partitionBy("url").orderBy(*order)
     return (pages.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 

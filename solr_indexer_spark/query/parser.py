@@ -11,10 +11,15 @@ Supported subset, parsed into a :class:`ParsedQuery`:
   -term               MUST_NOT: doc must not contain the term
   field:value         metadata equality filter (non-text fields)
 
+  -field:value        negated metadata filter
+
 Execution composes existing engine pieces: BM25 scoring for the
-should/must terms, array_contains gates for +/- terms, a positional
-self-join for phrases, and plain column filters for fields — then the
-standard (round(score,6) DESC, id ASC) rank contract.
+should/must terms, posting-list semi/anti joins for +/- term gates
+(one postings scan for all musts, one for all must_nots — never a
+re-tokenization of the corpus), positional-index intersection for
+phrases, and plain column filters for fields — then the standard
+(round(score,6) DESC, id ASC) rank contract via a distributed
+TakeOrderedAndProject top-k.
 """
 
 from __future__ import annotations
@@ -30,6 +35,9 @@ from ..analysis import SCORE_DECIMALS, tokenize_col, tokenize_py
 _TOKEN_SPLIT = re.compile(r'"([^"]*)"|(\S+)')
 
 
+_FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 @dataclass
 class ParsedQuery:
     should: list[str] = field(default_factory=list)   # scored terms
@@ -37,6 +45,20 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)  # -term
     phrases: list[list[str]] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)  # field:value
+    filters_not: list[tuple[str, str]] = field(default_factory=list)  # -field:v
+
+
+_VALUE_RE = re.compile(r"^[^\s:/]+$")
+
+
+def _field_filter(word: str) -> tuple[str, str] | None:
+    """field:value shape: field must look like an identifier and the
+    value must be colon/slash-free — 'http://example.com' in a webtext
+    query is a term, not a field filter on field 'http'."""
+    fld, sep, val = word.partition(":")
+    if sep and val and _FIELD_RE.match(fld) and _VALUE_RE.match(val):
+        return (fld, val)
+    return None
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -49,15 +71,18 @@ def parse_query(q: str) -> ParsedQuery:
                 out.phrases.append(toks)
                 out.should.extend(toks)    # phrase terms also score
             continue
-        if ":" in word and not word.startswith(("+", "-")):
-            fld, _, val = word.partition(":")
-            if fld and val:
-                out.filters.append((fld, val))
-                continue
+        # field:value is detected BEFORE the +/- branch: '-lang:en' is a
+        # negated field filter, never must_not text terms 'lang'+'en'
+        neg = word.startswith("-")
+        body = word[1:] if word.startswith(("+", "-")) else word
+        ff = _field_filter(body)
+        if ff is not None:
+            (out.filters_not if neg else out.filters).append(ff)
+            continue
         if word.startswith("+"):
-            out.must.extend(tokenize_py(word[1:]))
-        elif word.startswith("-"):
-            out.must_not.extend(tokenize_py(word[1:]))
+            out.must.extend(tokenize_py(body))
+        elif neg:
+            out.must_not.extend(tokenize_py(body))
         else:
             out.should.extend(tokenize_py(word))
     return out
@@ -91,24 +116,47 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
     id_col = index.id_col
     spark = docs.sparkSession
 
-    gated = docs
+    # ---- gates, answered from the INDEX (posting-list joins) ----------
+    # must → one postings scan, countDistinct == n_terms (conjunction);
+    # must_not → anti-join on one postings scan; NEVER a per-query
+    # re-tokenization of the corpus (Lucene answers these from postings
+    # the same way). Field filters push into the doc scan. The only
+    # doc-scan fallback left is a phrase with no positional index.
     scan_phrases = pq.phrases if pos_postings is None else []
-    if pq.must or pq.must_not or scan_phrases:
-        gated = gated.withColumn("_qtoks", tokenize_col("text"))
-        for t in pq.must:
-            gated = gated.filter(F.array_contains(F.col("_qtoks"), t))
-        for t in pq.must_not:
-            gated = gated.filter(~F.array_contains(F.col("_qtoks"), t))
-        for ph in scan_phrases:
-            gated = gated.filter(_phrase_pred(F.col("_qtoks"), ph))
-    if pos_postings is not None and pq.phrases:
-        from ..index.positions import phrase_match_positions
-        for ph in pq.phrases:
-            matches = phrase_match_positions(pos_postings, ph, id_col=id_col)
-            gated = gated.join(matches, id_col, "left_semi")
+    base = docs
     for fld, val in pq.filters:
-        gated = gated.filter(F.col(fld) == val)
-    candidates = gated.select(F.col(id_col))
+        base = base.filter(F.col(fld) == val)
+    for fld, val in pq.filters_not:
+        # Lucene -field:value: docs where the field is null do not match
+        # the value, so they survive the negation
+        base = base.filter(F.col(fld).isNull() | (F.col(fld) != val))
+    if scan_phrases:
+        base = base.withColumn("_qtoks", tokenize_col("text"))
+        for ph in scan_phrases:
+            base = base.filter(_phrase_pred(F.col("_qtoks"), ph))
+
+    has_gates = bool(pq.must or pq.must_not or pq.phrases
+                     or pq.filters or pq.filters_not)
+    candidates = base.select(F.col(id_col)) if has_gates else None
+    if candidates is not None:
+        if pq.must:
+            musts = sorted(set(pq.must))
+            hits = (index.postings.filter(F.col("term").isin(musts))
+                    .groupBy(id_col)
+                    .agg(F.countDistinct("term").alias("_nt"))
+                    .filter(F.col("_nt") == len(musts)).select(id_col))
+            candidates = candidates.join(hits, id_col, "left_semi")
+        if pq.must_not:
+            nots = (index.postings
+                    .filter(F.col("term").isin(sorted(set(pq.must_not))))
+                    .select(id_col))
+            candidates = candidates.join(nots, id_col, "left_anti")
+        if pos_postings is not None and pq.phrases:
+            from ..index.positions import phrase_match_positions
+            for ph in pq.phrases:
+                matches = phrase_match_positions(pos_postings, ph,
+                                                 id_col=id_col)
+                candidates = candidates.join(matches, id_col, "left_semi")
 
     scored_terms = pq.should + pq.must
     if scored_terms:
@@ -117,13 +165,21 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
             "query_id int, query_text string, k int")
         scored = score_exact(queries, index).drop("query_id")
         # semi-join onto the gated candidate set (gates are hard filters)
-        scored = scored.join(candidates, id_col, "left_semi")
+        if candidates is not None:
+            scored = scored.join(candidates, id_col, "left_semi")
     else:
-        scored = candidates.withColumn("score", F.lit(0.0))
+        scored = (candidates if candidates is not None
+                  else docs.select(F.col(id_col))) \
+            .withColumn("score", F.lit(0.0))
 
-    w = Window.orderBy(F.round(F.col("score"), SCORE_DECIMALS).desc(),
-                       F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    # distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition bounded heap + driver merge of k rows) — no global
+    # single-partition window over the full match set. The rank column
+    # is then numbered over only the k surviving rows.
+    order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
+             F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank")
             .orderBy("rank"))

@@ -191,6 +191,11 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 .withColumn("avgdl", F.lit(avgdl)))
         cpart = cblk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+        if tombstones is not None:
+            # θ must be seeded over SURVIVING docs only: a tombstoned doc
+            # in the champion's top-k would push θ above the true k-th
+            # surviving score and prune blocks that hold true answers
+            cpart = cpart.join(F.broadcast(tombstones), "doc_id", "left_anti")
         wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
         k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
                                for qid, k in k_map.items()] + [F.lit(10)]))
@@ -202,9 +207,16 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         # block-level union bound, computed with literal per-(query,term)
         # slack = θ₀ - Σ_{t'≠t} t_ub(t'): block survives iff
         # w·max_tfnorm(b) ≥ slack
-        qt_rows, slack_rows = [], []
+        # rank contract rounds to SCORE_DECIMALS before ranking: a doc
+        # within half an ulp of the rounding grid below θ can round into
+        # a tie and win the doc_id tie-break — widen θ by that half-ulp
+        # so such docs are never pruned
+        theta_eps = 0.5 * 10.0 ** (-SCORE_DECIMALS)
+        qt_rows = []
         for qid, k, w, champ, total_ub, t_ub in multi:
             th = theta.get(qid)
+            if th is not None:
+                th -= theta_eps
             for t, wt in w.items():
                 slack = (th - (total_ub - t_ub[t])) if th is not None else None
                 qt_rows.append((qid, t, wt,

@@ -8,6 +8,23 @@ the whole streaming history shares one consistent, resumable index (the
 same ResumableIndexBuild machinery; a crashed stream restarts from the
 checkpoint + manifest without recomputing finished batches).
 
+Exactly-once across crash/replay (foreachBatch is at-least-once):
+
+  * the block/manifest path was already idempotent (run_id per batch);
+  * run_log / doc_map / tombstones are written as per-batch partitions
+    (``.../batch_id=N``) with mode=overwrite, so a replayed batch
+    OVERWRITES its own partial output instead of appending duplicates;
+  * a batch whose id is ≤ the committed ``last_batch_id`` in the HWM
+    state is skipped outright (the HWM commit is the transaction point).
+
+Cross-batch latest-wins (Solr overwrite-by-id, reference
+solrindexer/indexer.py add path): a url recrawled in a later batch gets
+a NEW doc_id; the superseded doc_ids (found by joining this batch's
+urls against doc_map from earlier batches) are appended to a tombstone
+table that the query paths consume — delete+add, exactly Lucene's
+deleted-docs bitmap. Corpus stats keep counting tombstoned docs until a
+compaction, matching Lucene's deleted-docs-in-stats behavior.
+
 Caveat folded in deliberately: corpus stats (N, avgdl) drift as batches
 arrive. The encoder freezes avgdl at first-batch time for block-max
 bounds (bounds stay VALID upper bounds if avgdl only grows; queries
@@ -42,7 +59,8 @@ class StreamingIndexIngest:
         if os.path.exists(self._hwm_path):
             with open(self._hwm_path) as f:
                 return json.load(f)
-        return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0}
+        return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0,
+                "last_batch_id": -1}
 
     def _set_state(self, st: dict) -> None:
         tmp = self._hwm_path + ".tmp"
@@ -50,15 +68,21 @@ class StreamingIndexIngest:
             json.dump(st, f)
         os.replace(tmp, self._hwm_path)
 
+    def _batch_dir(self, table: str, batch_id: int) -> str:
+        return os.path.join(self.base_dir, table, f"batch_id={batch_id}")
+
     def process_batch(self, pages: DataFrame, batch_id: int) -> dict:
         """foreachBatch body — also directly callable for batch tests."""
         from ..analysis import tokenize_col
-        # latest-wins within the batch; cross-batch recrawls need a
-        # tombstone pass (NEXT.md #5 remaining edge)
-        good, run_log = validate(latest_wins(extract_pages(pages)))
-        run_log.write.mode("append").parquet(
-            os.path.join(self.base_dir, "run_log"))
         st = self._state()
+        if batch_id <= st.get("last_batch_id", -1):
+            # already committed — foreachBatch replay after restart
+            return {"batch_id": batch_id, "docs": 0, "skipped": True}
+        good, run_log = validate(latest_wins(extract_pages(pages)))
+        # per-batch partition + overwrite: a crash-replay of this batch
+        # rewrites the same directory instead of appending duplicates
+        run_log.write.mode("overwrite").parquet(
+            self._batch_dir("run_log", batch_id))
         # align the id base UP to a shard boundary: this batch's shards
         # are then disjoint from every earlier batch's, so the manifest
         # sees pure appends (never a "done" shard gaining docs)
@@ -73,28 +97,49 @@ class StreamingIndexIngest:
             .alias("sum_dl")).collect()[0]
         n, sum_dl = int(agg["n"]), int(agg["sum_dl"])
         if n == 0:
+            st["last_batch_id"] = batch_id
+            self._set_state(st)
             return {"batch_id": batch_id, "docs": 0}
+
+        # cross-batch latest-wins: urls already indexed by EARLIER
+        # batches are superseded — tombstone their old doc_ids (the
+        # batch_id < current filter keeps a replayed batch from
+        # tombstoning its own rows)
+        spark = pages.sparkSession
+        doc_map_dir = os.path.join(self.base_dir, "doc_map")
+        n_superseded = 0
+        if os.path.exists(doc_map_dir):
+            old = (spark.read.parquet(doc_map_dir)
+                   .filter(F.col("batch_id") < batch_id)
+                   .join(docs.select("url"), "url", "left_semi")
+                   .select("doc_id"))
+            old.write.mode("overwrite").parquet(
+                self._batch_dir("tombstones", batch_id))
+            n_superseded = spark.read.parquet(
+                self._batch_dir("tombstones", batch_id)).count()
+
         build = ResumableIndexBuild(
             self.base_dir, run_id=f"stream-{batch_id}",
             shard_range=self.shard_range, group_size=self.group_size)
         counters = build.run(docs)
-        docs.select("doc_id", "url").write.mode("append").parquet(
-            os.path.join(self.base_dir, "doc_map"))
+        docs.select("doc_id", "url").write.mode("overwrite").parquet(
+            self._batch_dir("doc_map", batch_id))
         # running corpus totals are the source of truth; corpus_stats
         # parquet is overwritten from them so queries over the loaded
         # index always use CURRENT N/avgdl (block bounds stay valid via
         # the (max_tf, min_dl) drift-safe bound — see index/codec.py)
         st = {"next_doc_id": base + n,
               "n_docs": st["n_docs"] + n,
-              "sum_dl": st["sum_dl"] + sum_dl}
+              "sum_dl": st["sum_dl"] + sum_dl,
+              "last_batch_id": batch_id}
         self._set_state(st)
-        spark = pages.sparkSession
         spark.createDataFrame(
             [(st["n_docs"], st["sum_dl"] / st["n_docs"])],
             "n_docs long, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.base_dir, "corpus_stats"))
-        return {"batch_id": batch_id, "docs": n, **counters}
+        return {"batch_id": batch_id, "docs": n,
+                "superseded": n_superseded, **counters}
 
     def start(self, pages_stream: DataFrame, checkpoint_dir: str):
         """Attach to a readStream of pages."""
@@ -106,3 +151,16 @@ class StreamingIndexIngest:
     def load(self, spark):
         return ResumableIndexBuild(self.base_dir,
                                    shard_range=self.shard_range).load(spark)
+
+    def tombstones(self, spark) -> DataFrame | None:
+        """Superseded doc_ids (cross-batch recrawls) as a 1-column frame
+        for the query paths' tombstone parameter; None when no url was
+        ever recrawled."""
+        d = os.path.join(self.base_dir, "tombstones")
+        if not os.path.exists(d):
+            return None
+        t = spark.read.parquet(d).select("doc_id")
+        return t
+
+    def doc_map(self, spark) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_dir, "doc_map"))

@@ -70,3 +70,26 @@ def test_generator_deterministic():
     a = synth_pages_pdf(n_docs=100, seed=7)
     b = synth_pages_pdf(n_docs=100, seed=7)
     assert a.equals(b)
+
+
+def test_latest_wins_full_tiebreak_deterministic(spark):
+    """ADVICE r1: equal (url, warc_ts, text) but different html/lang
+    must pick the SAME winner for the non-text columns every run —
+    tie-break chain is sha, then html length desc, then lang asc."""
+    from solr_indexer_spark.extract import extract_pages, latest_wins
+    rows = [
+        ("u1", "2024-01-01T00:00:00", "<p>same text</p>", "en"),
+        ("u1", "2024-01-01T00:00:00", "<p>same   text</p>", "de"),
+        ("u1", "2024-01-01T00:00:00", "<p>same  text</p>", "fr"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string, html string, lang string")
+    outs = set()
+    for _ in range(3):
+        r = latest_wins(extract_pages(pages)).select("url", "lang", "html").collect()
+        assert len(r) == 1
+        outs.add((r[0]["lang"], r[0]["html"]))
+    assert len(outs) == 1
+    # longest html wins ("<p>same   text</p>" = 18 chars... compute):
+    lens = {(row[3], len(row[2])) for row in rows}
+    max_len = max(l for _, l in lens)
+    assert len(outs.pop()[1]) == max_len

@@ -57,3 +57,70 @@ def test_two_batch_stream_equals_batch_build(spark, pages, tmp_path, theta_min):
     n_ref, avgdl_ref = ref_bindex.n_docs, ref_bindex.avgdl
     assert bindex.n_docs == n_ref
     assert bindex.avgdl == pytest.approx(avgdl_ref, rel=1e-12)
+
+
+def test_replay_is_idempotent(spark, pages, tmp_path):
+    """ADVICE r1 (medium): foreachBatch is at-least-once — a replayed
+    batch must not duplicate run_log/doc_map rows or double-count
+    corpus stats. Committed batches are skipped; a partially-written
+    batch overwrites its own per-batch partitions."""
+    half1 = pages.filter(F.crc32("url") % 2 == 0)
+    half2 = pages.filter(F.crc32("url") % 2 == 1)
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    r0 = ing.process_batch(half1, 0)
+    # simulate crash AFTER run_log/doc_map writes but BEFORE HWM commit:
+    # rewind the committed batch marker, then replay batch 1 twice
+    r1a = ing.process_batch(half2, 1)
+    st = ing._state()
+    st["last_batch_id"] = 0
+    st["next_doc_id"] = r0["docs"]          # pretend batch 1 never committed
+    st["n_docs"] -= r1a["docs"]
+    ing._set_state(st)
+    r1b = ing.process_batch(half2, 1)       # replay
+    assert r1b["docs"] == r1a["docs"]
+    r1c = ing.process_batch(half2, 1)       # committed now → skipped
+    assert r1c.get("skipped") is True
+
+    doc_map = spark.read.parquet(base + "/doc_map")
+    assert doc_map.count() == doc_map.select("url").distinct().count()
+    run_log = spark.read.parquet(base + "/run_log")
+    assert run_log.groupBy("url", "stage").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_cross_batch_latest_wins_tombstones(spark, pages, tmp_path):
+    """A url recrawled in a later batch supersedes the earlier doc:
+    old doc_id lands in the tombstone table, queries with tombstones
+    see only the newest version."""
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    batch1 = pages.limit(200).cache()
+    ing.process_batch(batch1, 0)
+    # recrawl 30 of batch1's (parseable) urls with changed text
+    recrawl = (batch1.filter(F.col("text").isNotNull() &
+                             (F.trim("text") != "")).limit(30)
+               .withColumn("html", F.concat(
+                   F.col("html"),
+                   F.lit(" <p>recrawl fresh</p>").cast("binary")))
+               .withColumn("warc_ts", F.lit("2025-01-01T00:00:00"))
+               .drop("text", "text_sha256"))   # force re-extraction
+    r1 = ing.process_batch(recrawl, 1)
+    assert r1["superseded"] > 0
+
+    tomb = ing.tombstones(spark)
+    assert tomb is not None
+    doc_map = ing.doc_map(spark)
+    # every tombstoned doc_id belongs to batch 0 and its url reappears
+    dead = tomb.join(doc_map, "doc_id")
+    assert dead.filter(F.col("batch_id") != 0).count() == 0
+    assert r1["superseded"] == dead.count()
+
+    # querying with tombstones returns only live docs for a recrawl term
+    bindex = ing.load(spark)
+    q = spark.createDataFrame([(1, "recrawl fresh", 50)],
+                              "query_id int, query_text string, k int")
+    hits = topk_wand(q, bindex, tombstones=tomb.select("doc_id"))
+    live = hits.join(doc_map, "doc_id")
+    assert live.count() > 0
+    assert live.filter(F.col("batch_id") != 1).count() == 0

@@ -91,3 +91,34 @@ def test_wand_rank_identical_to_oracle(spark, docs, qdf):
             f"q{qid}: {actual} vs {expect} ({[id_url.get(d) for _, d, _ in actual]})"
         for (_, _, sg), (_, _, se) in zip(actual, expect):
             assert sg == pytest.approx(se, rel=1e-6)
+
+
+def test_wand_theta_respects_tombstones(spark, docs, qdf):
+    """ADVICE r1 (high): θ-seeding must exclude tombstoned docs — a
+    deleted doc in the champion's top-k would otherwise inflate θ and
+    prune blocks holding true surviving answers. Tombstone the entire
+    exact top-k of a multi-term query, force the θ path, and require
+    rank identity with the exact scorer under the same tombstones."""
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=256)
+    multiq = qdf.filter(F.col("query_id").isin(2, 5, 6))
+
+    # tombstone every doc of the UN-deleted top-k: the surviving answers move up
+    dead_ids = sorted({r["doc_id"] for r in topk(multiq, index).collect()})
+    tomb = spark.createDataFrame([(i,) for i in dead_ids], "doc_id long")
+
+    exact = topk(multiq, index, tombstones=tomb).collect()
+    fast = topk_wand(multiq, bindex, tombstones=tomb,
+                     theta_min_postings=0).collect()
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 6)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert keyed(fast) == keyed(exact)
+    for q, rows in keyed(fast).items():
+        assert rows, f"q{q} returned empty under tombstones"
+        assert not ({d for _, d, _ in rows} & set(dead_ids))
