@@ -358,6 +358,103 @@ def q_lucene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("score", 4).alias("score_r"))
 
 
+BOOL_GROUPS_Q = "(value OR hash) AND dup"
+FIELD_RANGE_Q = "dup AND n_chars:[150 TO 400]"
+WILDCARD_Q = "s* AND gr?up AND dup"
+
+
+def q_lucene_bool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean grouping + OR precedence through the query-tree engine
+    (Lucene QueryParser parens; reference forwards arbitrary q strings,
+    solrindexer/search.py:125-140)."""
+    from .query.parser import search_lucene
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_lucene(BOOL_GROUPS_Q, docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def q_lucene_field_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field:[a TO b] inclusive range gate + scored term."""
+    from .query.parser import search_lucene
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_lucene(FIELD_RANGE_Q, docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def q_lucene_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard terms (te* / t?st) expanded against the term dictionary,
+    constant-score (Lucene MultiTermQuery rewrite), AND-composed with a
+    scored term."""
+    from .query.parser import search_lucene
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_lucene(WILDCARD_Q, docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def _scored_gate_sql(score_terms: list[str], gate_cond: str,
+                     k: int = 10) -> str:
+    """BM25 over ``score_terms`` restricted to docs satisfying
+    ``gate_cond`` (a SQL predicate over `toks`); matched docs with no
+    scored term keep score 0 (constant-score clauses)."""
+    tok = tokenize_sql("text")
+    in_list = ", ".join(f"'{t}'" for t in score_terms)
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+gated AS (SELECT doc_id FROM t WHERE {gate_cond}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  WHERE tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+),
+s2 AS (SELECT g.doc_id, coalesce(s.score, 0.0) AS score
+       FROM gated g LEFT JOIN scored s USING (doc_id)),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM s2
+)
+SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= {k} ORDER BY rnk
+"""
+
+
+def _bool_groups_sql() -> str:
+    return _scored_gate_sql(
+        ["value", "hash", "dup"],
+        "(list_contains(toks, 'value') OR list_contains(toks, 'hash')) "
+        "AND list_contains(toks, 'dup')")
+
+
+def _field_range_sql() -> str:
+    return _scored_gate_sql(
+        ["dup"],
+        "list_contains(toks, 'dup') AND doc_id IN "
+        "(SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 400)")
+
+
+def _wildcard_sql() -> str:
+    return _scored_gate_sql(
+        ["dup"],
+        "len(list_filter(toks, x -> x LIKE 's%')) > 0 "
+        "AND len(list_filter(toks, x -> x LIKE 'gr_up')) > 0 "
+        "AND list_contains(toks, 'dup')")
+
+
 def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts over a result set (Solr facet.field on q=dup):
     top-50 BM25 hits → groupBy(lang).count()."""
@@ -843,6 +940,9 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
     "lucene_query": q_lucene_query,
+    "lucene_bool_groups": q_lucene_bool_groups,
+    "lucene_field_range": q_lucene_field_range,
+    "lucene_wildcard": q_lucene_wildcard,
     "facet_on_hits": q_facet_on_hits,
     "json_projection": q_json_projection,
     "try_cast_skip": q_try_cast_skip,
@@ -885,6 +985,9 @@ ORACLE_SQL = {
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
     "lucene_query": _lucene_sql(),
+    "lucene_bool_groups": _bool_groups_sql(),
+    "lucene_field_range": _field_range_sql(),
+    "lucene_wildcard": _wildcard_sql(),
     "facet_on_hits": _facet_on_hits_sql(),
     "json_projection": """
         SELECT event_id, json_extract_string(props, '$.k')::INT AS k

@@ -28,24 +28,32 @@ EN_STOPWORDS = LANG_PROFILES["en"]
 def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang, score) — argmax stopword-hit fraction;
     deterministic tie-break on language code; 'und' when no profile
-    matches at all."""
-    toks = tokenize_col(F.col("text"))
-    n = F.size(toks)
-    cols = []
+    matches at all.
+
+    Relational form: ONE explode + conditional-sum aggregates (plain
+    whole-stage-codegen'd hash agg, map-side combinable — the r1
+    Catalyst array-lambda form measured 3-15× slower in BENCH.md).
+    Zero-token docs survive via the left join back onto docs."""
+    tok = docs.select(F.col(id_col).alias("_id"),
+                      F.explode(tokenize_col(F.col("text"))).alias("t"))
+    aggs = [F.count("*").alias("_n")]
     for lang in sorted(LANG_PROFILES):
-        markers = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-        cols.append(F.struct(
-            (hits / F.greatest(n, F.lit(1))).alias("score"),
-            F.lit(lang).alias("lang")))
-    # array_max over structs: max by score, then FIRST lang wins ties —
+        aggs.append(F.sum(F.when(F.col("t").isin(*LANG_PROFILES[lang]), 1)
+                          .otherwise(0)).alias(f"_h_{lang}"))
+    stats = tok.groupBy("_id").agg(*aggs)
+    out = docs.select(F.col(id_col)).join(
+        stats.withColumnRenamed("_id", id_col), id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    # argmax over a FIXED 4-element struct array (not per-token work);
     # invert lang ordering so the tie-break is lang ASC
     best = F.array_max(F.array(*[
-        F.struct(c["score"].alias("score"),
-                 F.lit(-i).alias("ord"),
-                 c["lang"].alias("lang"))
-        for i, c in enumerate(cols)]))
-    return docs.select(
+        F.struct(
+            (F.coalesce(F.col(f"_h_{lang}"), F.lit(0))
+             / F.greatest(n, F.lit(1))).alias("score"),
+            F.lit(-i).alias("ord"),
+            F.lit(lang).alias("lang"))
+        for i, lang in enumerate(sorted(LANG_PROFILES))]))
+    return out.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
         .alias("pred_lang"),
@@ -54,21 +62,27 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, avg_token_len, stopword_ratio, quality) — the
-    length/stopword/shape heuristics of a training-data quality gate."""
-    toks = tokenize_col(F.col("text"))
-    n = F.size(toks)
-    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    total_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
-                            F.lit(0), lambda a, v: a + v)
-    avg_len = total_len / F.greatest(n, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n, F.lit(1))
+    length/stopword/shape heuristics of a training-data quality gate.
+    One explode + sum/count aggregates (relational form — see lang_id)."""
+    tok = docs.select(F.col(id_col).alias("_id"),
+                      F.explode(tokenize_col(F.col("text"))).alias("t"))
+    stats = tok.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.length("t")).alias("_len"),
+        F.sum(F.when(F.col("t").isin(*EN_STOPWORDS), 1).otherwise(0))
+        .alias("_stop"))
+    out = docs.select(F.col(id_col)).join(
+        stats.withColumnRenamed("_id", id_col), id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    avg_len = F.coalesce(F.col("_len"), F.lit(0)) / F.greatest(n, F.lit(1))
+    stop_ratio = (F.coalesce(F.col("_stop"), F.lit(0))
+                  / F.greatest(n, F.lit(1)))
     # bounded [0,1] composite: enough tokens, sane word length, some
     # (but not only) stopwords
     quality = (F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
                + F.when((avg_len >= 3) & (avg_len <= 8), 0.3).otherwise(0.0)
                + F.least(stop_ratio * 2, F.lit(0.3)))
-    return docs.select(
+    return out.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(avg_len, 4).alias("avg_token_len"),

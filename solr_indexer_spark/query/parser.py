@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from ..analysis import SCORE_DECIMALS, tokenize_col, tokenize_py
 
 _TOKEN_SPLIT = re.compile(r'"([^"]*)"|(\S+)')
+# syntax only the boolean tree engine understands
+_ADVANCED = re.compile(r'[()\[\{*?]|\bAND\b|\bOR\b|\bNOT\b|&&|\|\|')
 
 
 _FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -112,6 +114,12 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
     (Lucene behavior); otherwise they fall back to a doc-scan predicate.
     """
     from .scorer import score_exact
+    if _ADVANCED.search(q or ""):
+        # grouping / AND / OR / NOT / ranges / wildcards → the boolean
+        # tree engine (qtree.py); simple ±term/phrase/field queries keep
+        # this flat path (identical results, fewer joins)
+        from .qtree import search_tree
+        return search_tree(q, docs, index, k=k, pos_postings=pos_postings)
     pq = parse_query(q)
     id_col = index.id_col
     spark = docs.sparkSession

@@ -1,0 +1,381 @@
+"""Boolean query tree — the full Lucene-ish query-string surface the
+reference forwards to Solr (solrindexer/search.py:125-140 passes ``q``
+verbatim; README examples include grouping, AND/OR, field ranges).
+
+Grammar (classic Lucene QueryParser subset):
+
+  bare terms            SHOULD (default operator OR)
+  +term / -term / NOT   MUST / MUST_NOT
+  a AND b               promotes both neighbors to MUST
+  a OR b                keeps both SHOULD
+  ( ... )               grouping, arbitrarily nested
+  "quoted phrase"       positional adjacency — treated as MUST (gate)
+  field:value           metadata equality  → MUST
+  -field:value          negated equality   → MUST_NOT
+  field:[a TO b]        inclusive range; '{a TO b}' exclusive; '*' open
+  te?t / tes*           wildcard term (expanded against the term
+                        dictionary; constant-score like Lucene's
+                        MultiTermQuery rewrite — contributes matching
+                        docs, not BM25 weight)
+
+Matching semantics per boolean group (Lucene BooleanQuery):
+docs match all MUST clauses, none of the MUST_NOT clauses, and — when
+the group has no MUST — at least one SHOULD clause.
+
+Execution is id-set algebra over the INVERTED INDEX, never a corpus
+re-tokenization: term → postings row-group lookup; wildcard → term
+dictionary LIKE → postings semi-join; AND → semi-join; OR → union
+distinct; NOT → anti-join; field predicates push into the doc scan.
+Scoring = BM25 over every positive text term in the tree (phrase terms
+included, duplicates keep their qtf weight), restricted to the matched
+id set; ties break on id ASC after round(score, 6) — the engine-wide
+rank contract. Top-k is a distributed TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import SCORE_DECIMALS, tokenize_py
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TermN:
+    t: str
+
+
+@dataclass
+class PhraseN:
+    toks: list[str]
+
+
+@dataclass
+class WildcardN:
+    pattern: str        # raw pattern with * / ?
+
+
+@dataclass
+class FieldEqN:
+    fld: str
+    val: str
+
+
+@dataclass
+class FieldRangeN:
+    fld: str
+    lo: str | None      # None = open endpoint ('*')
+    hi: str | None
+    incl_lo: bool = True
+    incl_hi: bool = True
+
+
+@dataclass
+class GroupN:
+    clauses: list = field(default_factory=list)   # [(mod, node)]
+
+
+# ---------------------------------------------------------------------------
+# Lexer + parser (classic Lucene addClause conjunction rules)
+# ---------------------------------------------------------------------------
+
+_FIELD = r"[A-Za-z_]\w*"
+_LEX = re.compile(
+    r'"([^"]*)"'                                     # 1: phrase
+    rf'|([+\-]?{_FIELD}:[\[\{{][^\]\}}]*[\]\}}])'    # 2: field range
+    r'|(\()|(\))'                                    # 3, 4: parens
+    r'|([+\-])(?=\()'                                # 5: modifier on group
+    r'|([^\s()]+)'                                   # 6: word
+)
+_RANGE = re.compile(
+    rf'([+\-]?)({_FIELD}):([\[\{{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}}])')
+_FIELD_EQ = re.compile(rf'^({_FIELD}):([^\s:/]+)$')
+
+
+def _lex(q: str) -> list[tuple[str, object]]:
+    out = []
+    for m in _LEX.finditer(q or ""):
+        phrase, rng, lp, rp, mod, word = m.groups()
+        if phrase is not None:
+            out.append(("PHRASE", phrase))
+        elif rng is not None:
+            out.append(("RANGE", rng))
+        elif lp:
+            out.append(("LP", None))
+        elif rp:
+            out.append(("RP", None))
+        elif mod:
+            out.append(("MOD", mod))
+        elif word is not None:
+            if word in ("AND", "&&"):
+                out.append(("AND", None))
+            elif word in ("OR", "||"):
+                out.append(("OR", None))
+            elif word == "NOT":
+                out.append(("NOT", None))
+            else:
+                out.append(("WORD", word))
+    return out
+
+
+def _word_clause(word: str):
+    """(mod, node) for a bare word token (with optional +/- prefix)."""
+    mod = SHOULD
+    if word.startswith("+"):
+        mod, word = MUST, word[1:]
+    elif word.startswith("-"):
+        mod, word = MUST_NOT, word[1:]
+    if not word:
+        return None
+    m = _FIELD_EQ.match(word)
+    if m:
+        # Lucene-faithful: a bare field clause is SHOULD (so
+        # 'lang:de OR lang:fr' unions); +/-/AND promote it
+        return (mod, FieldEqN(m.group(1), m.group(2)))
+    if "*" in word or "?" in word:
+        return (mod, WildcardN(word.lower()))
+    toks = tokenize_py(word)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return (mod, TermN(toks[0]))
+    # a word that tokenizes into several terms (e.g. 'foo-bar') acts as
+    # a sub-group of SHOULD terms under the word's modifier
+    return (mod, GroupN([(SHOULD, TermN(t)) for t in toks]))
+
+
+def _range_clause(raw: str):
+    m = _RANGE.match(raw)
+    if not m:
+        return None
+    sign, fld, lb, lo, hi, rb = m.groups()
+    node = FieldRangeN(fld,
+                       None if lo == "*" else lo,
+                       None if hi == "*" else hi,
+                       incl_lo=(lb == "["), incl_hi=(rb == "]"))
+    mod = {"-": MUST_NOT, "+": MUST}.get(sign, SHOULD)
+    return (mod, node)
+
+
+def parse_tree(q: str) -> GroupN:
+    """Parse into a GroupN using the classic Lucene QueryParser
+    conjunction behavior: AND promotes the PREVIOUS clause to MUST (if
+    it was SHOULD) and makes the next clause MUST; OR leaves both
+    SHOULD; explicit +/-/NOT on a clause wins over the conjunction."""
+    toks = _lex(q)
+    pos = 0
+
+    def parse_group(depth: int) -> GroupN:
+        nonlocal pos
+        g = GroupN()
+        conj = None          # pending AND/OR
+        pending_mod = None   # pending +/-/NOT for the next clause
+
+        def add(clause):
+            nonlocal conj, pending_mod
+            if clause is None:
+                conj, pending_mod = None, None
+                return
+            mod, node = clause
+            if pending_mod is not None:
+                mod = pending_mod
+            if conj == "AND":
+                if g.clauses and g.clauses[-1][0] == SHOULD:
+                    g.clauses[-1] = (MUST, g.clauses[-1][1])
+                if mod == SHOULD:
+                    mod = MUST
+            g.clauses.append((mod, node))
+            conj, pending_mod = None, None
+
+        while pos < len(toks):
+            kind, val = toks[pos]
+            pos += 1
+            if kind == "RP":
+                if depth > 0:
+                    break
+                continue                      # stray ')' — ignore
+            if kind == "LP":
+                sub = parse_group(depth + 1)
+                add((SHOULD, sub) if sub.clauses else None)
+            elif kind == "AND":
+                conj = "AND"
+            elif kind == "OR":
+                conj = "OR"
+            elif kind == "NOT":
+                pending_mod = MUST_NOT
+            elif kind == "MOD":
+                pending_mod = MUST if val == "+" else MUST_NOT
+            elif kind == "PHRASE":
+                p = tokenize_py(val)
+                # phrases gate (MUST) — the r1 engine contract — unless
+                # explicitly negated
+                add((MUST, PhraseN(p)) if p else None)
+            elif kind == "RANGE":
+                add(_range_clause(val))
+            elif kind == "WORD":
+                add(_word_clause(val))
+        return g
+
+    return parse_group(0)
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+def _wildcard_like(pattern: str) -> str:
+    """Lucene wildcard → SQL LIKE (escape %/_ first)."""
+    return (pattern.replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_"))
+
+
+def _typed_lit(v: str):
+    try:
+        return F.lit(int(v))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(v))
+    except ValueError:
+        return F.lit(v)
+
+
+def positive_terms(g: GroupN) -> list[str]:
+    """Every text term under a non-negated clause, with multiplicity
+    (the BM25 qtf weights)."""
+    out: list[str] = []
+    for mod, node in g.clauses:
+        if mod == MUST_NOT:
+            continue
+        if isinstance(node, TermN):
+            out.append(node.t)
+        elif isinstance(node, PhraseN):
+            out.extend(node.toks)
+        elif isinstance(node, GroupN):
+            out.extend(positive_terms(node))
+    return out
+
+
+class TreeExecutor:
+    """Matches a GroupN against an InvertedIndex + doc table; all set
+    algebra stays distributed (semi/anti joins + union distinct)."""
+
+    def __init__(self, index, docs: DataFrame,
+                 pos_postings: DataFrame | None = None):
+        self.index = index
+        self.docs = docs
+        self.pos_postings = pos_postings
+        self.id_col = index.id_col
+
+    def _term_ids(self, t: str) -> DataFrame:
+        return self.index.postings.filter(F.col("term") == t) \
+            .select(self.id_col)
+
+    def _wildcard_ids(self, pattern: str) -> DataFrame:
+        like = _wildcard_like(pattern)
+        terms = self.index.term_stats.filter(F.col("term").like(like)) \
+            .select("term")
+        return (self.index.postings
+                .join(F.broadcast(terms), "term", "left_semi")
+                .select(self.id_col).distinct())
+
+    def _phrase_ids(self, toks: list[str]) -> DataFrame:
+        if self.pos_postings is not None:
+            from ..index.positions import phrase_match_positions
+            return phrase_match_positions(self.pos_postings, toks,
+                                          id_col=self.id_col) \
+                .select(self.id_col)
+        # doc-scan fallback (no positional index supplied)
+        from ..analysis import tokenize_col
+        from .parser import _phrase_pred
+        return (self.docs
+                .withColumn("_qtoks", tokenize_col("text"))
+                .filter(_phrase_pred(F.col("_qtoks"), toks))
+                .select(self.id_col))
+
+    def _node_ids(self, node) -> DataFrame:
+        if isinstance(node, TermN):
+            return self._term_ids(node.t)
+        if isinstance(node, WildcardN):
+            return self._wildcard_ids(node.pattern)
+        if isinstance(node, PhraseN):
+            return self._phrase_ids(node.toks)
+        if isinstance(node, FieldEqN):
+            return self.docs.filter(
+                F.col(node.fld) == _typed_lit(node.val)) \
+                .select(self.id_col)
+        if isinstance(node, FieldRangeN):
+            pred = F.lit(True)
+            c = F.col(node.fld)
+            if node.lo is not None:
+                lo = _typed_lit(node.lo)
+                pred = pred & (c >= lo if node.incl_lo else c > lo)
+            if node.hi is not None:
+                hi = _typed_lit(node.hi)
+                pred = pred & (c <= hi if node.incl_hi else c < hi)
+            return self.docs.filter(pred).select(self.id_col)
+        if isinstance(node, GroupN):
+            return self.match_ids(node)
+        raise TypeError(f"unknown node {node!r}")
+
+    def match_ids(self, g: GroupN) -> DataFrame:
+        musts = [n for mod, n in g.clauses if mod == MUST]
+        nots = [n for mod, n in g.clauses if mod == MUST_NOT]
+        shoulds = [n for mod, n in g.clauses if mod == SHOULD]
+        idc = self.id_col
+        if musts:
+            base = reduce(
+                lambda acc, n: acc.join(self._node_ids(n), idc, "left_semi"),
+                musts[1:], self._node_ids(musts[0]))
+        elif shoulds:
+            base = reduce(DataFrame.unionByName,
+                          [self._node_ids(n) for n in shoulds]).distinct()
+        else:
+            base = self.docs.select(F.col(idc))
+        for n in nots:
+            base = base.join(self._node_ids(n), idc, "left_anti")
+        return base
+
+
+def search_tree(q: str, docs: DataFrame, index, k: int = 10,
+                pos_postings: DataFrame | None = None) -> DataFrame:
+    """Full boolean query-string search → (<id>, score, rank).
+
+    score = BM25 over the tree's positive text terms (wildcards are
+    constant-score — matched docs without any scored term rank by id at
+    score 0, like Lucene's MultiTermQuery CONSTANT_SCORE rewrite)."""
+    from .scorer import score_exact
+    tree = parse_tree(q)
+    id_col = index.id_col
+    spark = docs.sparkSession
+    ex = TreeExecutor(index, docs, pos_postings)
+
+    matched = ex.match_ids(tree)
+    terms = positive_terms(tree)
+    if terms:
+        queries = spark.createDataFrame(
+            [(0, " ".join(terms), k)],
+            "query_id int, query_text string, k int")
+        scores = score_exact(queries, index).drop("query_id")
+        scored = matched.join(scores, id_col, "left") \
+            .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+    else:
+        scored = matched.withColumn("score", F.lit(0.0))
+
+    order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
+             F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(id_col, "score", "rank")
+            .orderBy("rank"))

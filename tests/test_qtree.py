@@ -1,0 +1,121 @@
+"""Boolean query-tree engine: parse goldens (classic Lucene QueryParser
+conjunction rules), id-set execution vs hand-derived filters, wildcard
+expansion, field ranges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.analysis import tokenize_col
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.query.parser import search_lucene
+from solr_indexer_spark.query.qtree import (
+    FieldEqN, FieldRangeN, GroupN, PhraseN, TermN, WildcardN,
+    parse_tree, positive_terms, search_tree,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    return docs, build_index(docs, id_col="doc_id")
+
+
+def _shape(g):
+    out = []
+    for m, n in g.clauses:
+        if isinstance(n, GroupN):
+            out.append((m, _shape(n)))
+        elif isinstance(n, TermN):
+            out.append((m, "T", n.t))
+        elif isinstance(n, PhraseN):
+            out.append((m, "P", tuple(n.toks)))
+        elif isinstance(n, WildcardN):
+            out.append((m, "W", n.pattern))
+        elif isinstance(n, FieldEqN):
+            out.append((m, "F", n.fld, n.val))
+        elif isinstance(n, FieldRangeN):
+            out.append((m, "R", n.fld, n.lo, n.hi, n.incl_lo, n.incl_hi))
+    return out
+
+
+def test_parse_goldens():
+    assert _shape(parse_tree("(value OR hash) AND dup")) == [
+        ("MUST", [("SHOULD", "T", "value"), ("SHOULD", "T", "hash")]),
+        ("MUST", "T", "dup")]
+    # the documented Lucene QueryParser quirk: a AND b OR c
+    assert _shape(parse_tree("a AND b OR c")) == [
+        ("MUST", "T", "a"), ("MUST", "T", "b"), ("SHOULD", "T", "c")]
+    assert _shape(parse_tree("NOT hash dup")) == [
+        ("MUST_NOT", "T", "hash"), ("SHOULD", "T", "dup")]
+    assert _shape(parse_tree("n_chars:[100 TO 300] dup")) == [
+        ("SHOULD", "R", "n_chars", "100", "300", True, True),
+        ("SHOULD", "T", "dup")]
+    assert _shape(parse_tree("+n_chars:[100 TO 300] dup")) == [
+        ("MUST", "R", "n_chars", "100", "300", True, True),
+        ("SHOULD", "T", "dup")]
+    assert _shape(parse_tree("-n_chars:{5 TO *}")) == [
+        ("MUST_NOT", "R", "n_chars", "5", None, False, False)]
+    assert _shape(parse_tree('va?ue OR tab*')) == [
+        ("SHOULD", "W", "va?ue"), ("SHOULD", "W", "tab*")]
+    assert _shape(parse_tree('"key value" -lang:zh')) == [
+        ("MUST", "P", ("key", "value")), ("MUST_NOT", "F", "lang", "zh")]
+    assert positive_terms(parse_tree('dup dup "key value" -hash')) == [
+        "dup", "dup", "key", "value"]
+
+
+def _match_set(spark, docs, index, q):
+    hits = search_tree(q, docs, index, k=10_000)
+    return {r["doc_id"] for r in hits.collect()}
+
+
+def test_or_group_and_semantics(spark, corpus):
+    docs, index = corpus
+    toks = docs.select("doc_id", tokenize_col("text").alias("tk")).cache()
+    has = lambda t: {r["doc_id"] for r in
+                     toks.filter(F.array_contains("tk", t)).collect()}
+    expect = (has("value") | has("hash")) & has("dup")
+    assert _match_set(spark, docs, index, "(value OR hash) AND dup") == expect
+    expect2 = has("value") - has("hash")
+    assert _match_set(spark, docs, index, "value NOT hash") == expect2
+    # explicit OR of field filters
+    langs = {r["doc_id"] for r in
+             docs.filter(F.col("lang").isin("de", "fr")).collect()}
+    assert _match_set(spark, docs, index, "lang:de OR lang:fr") == langs
+
+
+def test_field_range_inclusive_exclusive(spark, corpus):
+    docs, index = corpus
+    incl = {r["doc_id"] for r in
+            docs.filter("n_chars >= 150 AND n_chars <= 400").collect()}
+    excl = {r["doc_id"] for r in
+            docs.filter("n_chars > 150 AND n_chars < 400").collect()}
+    assert _match_set(spark, docs, index, "n_chars:[150 TO 400]") == incl
+    assert _match_set(spark, docs, index, "n_chars:{150 TO 400}") == excl
+    open_hi = {r["doc_id"] for r in docs.filter("n_chars >= 400").collect()}
+    assert _match_set(spark, docs, index, "n_chars:[400 TO *]") == open_hi
+
+
+def test_wildcard_expansion(spark, corpus):
+    docs, index = corpus
+    toks = docs.select("doc_id", tokenize_col("text").alias("tk"))
+    s_terms = {r["term"] for r in
+               index.term_stats.filter(F.col("term").like("s%")).collect()}
+    assert s_terms, "expected s* terms in the corpus"
+    expect = {r["doc_id"] for r in
+              toks.filter(F.arrays_overlap(
+                  "tk", F.array(*[F.lit(t) for t in s_terms]))).collect()}
+    assert _match_set(spark, docs, index, "s*") == expect
+    # '?' single-char
+    grp = {r["doc_id"] for r in
+           toks.filter(F.array_contains("tk", "group")).collect()}
+    assert _match_set(spark, docs, index, "gr?up") == grp
+
+
+def test_search_lucene_routes_advanced_syntax(spark, corpus):
+    docs, index = corpus
+    via_router = search_lucene("(value OR hash) AND dup", docs, index, k=10)
+    direct = search_tree("(value OR hash) AND dup", docs, index, k=10)
+    assert [tuple(r) for r in via_router.collect()] == \
+        [tuple(r) for r in direct.collect()]
