@@ -98,6 +98,9 @@ def main() -> None:
     bindex.blocks.count()
     bindex.term_meta = bindex.meta().cache()
     bindex.term_meta.count()
+    # long-lived query session: pin the term dictionary driver-side
+    # (Lucene's in-RAM term dict) — query planning costs 0 Spark jobs
+    bindex.load_term_dict()
 
     # codec efficiency: varbyte block bytes vs raw fixed-width postings
     # (doc_id 8B + tf 4B + dl 4B = 16B per posting)

@@ -129,3 +129,71 @@ def sorted_set(col) -> Column:
     (solrindexer/mmd.py:619-627, 925-929, 1066-1067)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_sort(F.array_distinct(c))
+
+
+# ---------------------------------------------------------------------------
+# Reference-specific enrichment scalars (SURVEY §2.6 remaining rows)
+# ---------------------------------------------------------------------------
+
+SENTINEL_RE = r"^S[1-5][ABCP]_.*"
+
+
+def sentinel_split(col) -> Column:
+    """Sentinel product-string detect + '_'-split
+    (solrindexer/mmd.py:1100-1119 _is_sentinel_product): array of
+    components when the string matches ^S[1-5][ABCP]_, else null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.rlike(SENTINEL_RE), F.split(c, "_")) \
+        .otherwise(F.lit(None).cast("array<string>"))
+
+
+NBS_PROD_RE = r"(\w\d\w)/(\d{4})/(\d{2})/(\d{2})(?:/(IW|EW))?/(.+)\.zip"
+
+
+def nbs_product_parse(col) -> Column:
+    """NBS product-path regex, 6 groups (solrindexer/tools.py:334-379
+    add_nbs_thumbnail): (product, year, month, day, mode, fname) struct;
+    all-null struct when the url does not match. The reference's
+    ``(?:/(IW|EW))?`` optional mode group is preserved — S1 products
+    carry it, others leave it empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    matched = c.rlike(NBS_PROD_RE)
+    def g(i):
+        return F.when(matched,
+                      F.nullif(F.regexp_extract(c, NBS_PROD_RE, i),
+                               F.lit("")))
+    return F.struct(g(1).alias("product"), g(2).alias("year"),
+                    g(3).alias("month"), g(4).alias("day"),
+                    g(5).alias("mode"), g(6).alias("fname"))
+
+
+def nbs_thumbnail_url(col, base_url: str) -> Column:
+    """Thumbnail URL composition from the parsed NBS path
+    (tools.py:355-376): S1* products include the /IW|EW/ mode segment,
+    others omit it. (The reference's filesystem existence probe is IO
+    outside the engine — SURVEY scopes it out; composition is the
+    data-parallel part.)"""
+    p = nbs_product_parse(col)
+    s1 = (p["product"].startswith("S1"))
+    with_mode = F.concat(F.lit(base_url), F.lit("/"), p["product"],
+                         F.lit("/"), p["year"], F.lit("/"), p["month"],
+                         F.lit("/"), p["day"], F.lit("/"), p["mode"],
+                         F.lit("/ql/"), p["fname"],
+                         F.lit("/thumbnail.png"))
+    no_mode = F.concat(F.lit(base_url), F.lit("/"), p["product"],
+                       F.lit("/"), p["year"], F.lit("/"), p["month"],
+                       F.lit("/"), p["day"],
+                       F.lit("/ql/"), p["fname"], F.lit("/thumbnail.png"))
+    return F.when(p["product"].isNull(), F.lit(None).cast("string")) \
+        .when(s1, with_mode).otherwise(no_mode)
+
+
+def to_json_compact(col) -> Column:
+    """Compact JSON serialize, byte-compatible with the reference's
+    json.dumps(..., ensure_ascii=False, separators=(',', ':'))
+    (solrindexer/mmd.py:379-383 and 4 sibling call sites):
+    no whitespace, UTF-8 kept unescaped, null fields PRESERVED
+    (Spark's default drops them; the reference pre-filters empties but
+    serializes explicit nulls)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_json(c, {"ignoreNullFields": "false"})

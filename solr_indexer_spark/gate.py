@@ -252,6 +252,68 @@ def q_date_range_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Point ops: realtime get, delete-by-query (SURVEY S10 / S7)
 # ---------------------------------------------------------------------------
 
+def q_sentinel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel product detect+split (solrindexer/mmd.py:1100-1119):
+    synthetic product strings derived deterministically from doc_id."""
+    from .functions.scalars import sentinel_split
+    d = _docs(spark, sf_dir)
+    prod = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("S1A_IW_GRDH_"), F.col("doc_id")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("S2B_MSIL1C_"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("X5Z_"), F.col("doc_id"))))
+    parts = sentinel_split(prod)
+    return d.select(
+        "doc_id",
+        parts.isNotNull().alias("is_sentinel"),
+        F.coalesce(F.size(parts), F.lit(-1)).cast("long").alias("n_parts"),
+        F.element_at(parts, 1).alias("platform"),
+        F.element_at(parts, -1).alias("tail"),
+    ).orderBy("doc_id")
+
+
+def q_nbs_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NBS product-path parse (6-group regex, optional IW|EW mode) +
+    thumbnail-url composition (solrindexer/tools.py:334-379)."""
+    from .functions.scalars import nbs_product_parse, nbs_thumbnail_url
+    d = _docs(spark, sf_dir)
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("https://nbs/x/S1A/2024/03/"), day,
+                           F.lit("/IW/prod"), F.col("doc_id"),
+                           F.lit(".zip")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("https://nbs/x/S2B/2024/03/"), day,
+                          F.lit("/prod"), F.col("doc_id"), F.lit(".zip")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("https://nbs/x/S1A/24/3/"), day,
+                          F.lit("/bad"), F.col("doc_id"), F.lit(".zip")))
+           .otherwise(F.concat(F.lit("https://nbs/x/S3P/2024/03/"), day,
+                               F.lit("/nozip"), F.col("doc_id"))))
+    p = nbs_product_parse(url)
+    return d.select(
+        "doc_id", p["product"].alias("product"), p["year"].alias("year"),
+        p["month"].alias("month"), p["day"].alias("day"),
+        p["mode"].alias("mode"), p["fname"].alias("fname"),
+        nbs_thumbnail_url(url, "https://thumb").alias("thumbnail_url"),
+    ).orderBy("doc_id")
+
+
+def q_json_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact JSON serialize, byte-compatible with the reference's
+    json.dumps(..., ensure_ascii=False, separators=(',',':'))
+    (solrindexer/mmd.py:379-383 et al.) — nulls preserved."""
+    from .functions.scalars import to_json_compact
+    d = _docs(spark, sf_dir)
+    payload = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("source"))
+        .otherwise(F.lit(None).cast("string")).alias("source"))
+    return d.select("doc_id", to_json_compact(payload).alias("j")) \
+        .orderBy("doc_id")
+
+
 def q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).filter(F.col("doc_id") == 42) \
         .select("doc_id", "text", "lang", "source")
@@ -943,6 +1005,9 @@ QUERIES = {
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
     "lucene_wildcard": q_lucene_wildcard,
+    "sentinel_split": q_sentinel_split,
+    "nbs_thumbnail": q_nbs_thumbnail,
+    "json_compact": q_json_compact,
     "facet_on_hits": q_facet_on_hits,
     "json_projection": q_json_projection,
     "try_cast_skip": q_try_cast_skip,
@@ -988,6 +1053,85 @@ ORACLE_SQL = {
     "lucene_bool_groups": _bool_groups_sql(),
     "lucene_field_range": _field_range_sql(),
     "lucene_wildcard": _wildcard_sql(),
+    "sentinel_split": """
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'S1A_IW_GRDH_' || doc_id
+                      WHEN doc_id % 3 = 1 THEN 'S2B_MSIL1C_' || doc_id
+                      ELSE 'X5Z_' || doc_id END AS prod
+          FROM documents
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN regexp_matches(prod, '^S[1-5][ABCP]_.*')
+                      THEN str_split(prod, '_') END AS parts
+          FROM p
+        )
+        SELECT doc_id,
+               parts IS NOT NULL AS is_sentinel,
+               coalesce(len(parts), -1)::BIGINT AS n_parts,
+               parts[1] AS platform,
+               parts[-1] AS tail
+        FROM sp ORDER BY doc_id
+    """,
+    "nbs_thumbnail": """
+        WITH u AS (
+          SELECT doc_id,
+                 lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS dd,
+                 CASE WHEN doc_id % 4 = 0 THEN
+                        'https://nbs/x/S1A/2024/03/' ||
+                        lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+                        '/IW/prod' || doc_id || '.zip'
+                      WHEN doc_id % 4 = 1 THEN
+                        'https://nbs/x/S2B/2024/03/' ||
+                        lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+                        '/prod' || doc_id || '.zip'
+                      WHEN doc_id % 4 = 2 THEN
+                        'https://nbs/x/S1A/24/3/' ||
+                        lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+                        '/bad' || doc_id || '.zip'
+                      ELSE
+                        'https://nbs/x/S3P/2024/03/' ||
+                        lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+                        '/nozip' || doc_id END AS url
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, url,
+                 regexp_extract(url,
+                   '(\w\d\w)/(\d{4})/(\d{2})/(\d{2})(?:/(IW|EW))?/(.+)\.zip',
+                   ['p1','p2','p3','p4','p5','p6']) AS g,
+                 regexp_matches(url,
+                   '(\w\d\w)/(\d{4})/(\d{2})/(\d{2})(?:/(IW|EW))?/(.+)\.zip') AS ok
+          FROM u
+        )
+        SELECT doc_id,
+               CASE WHEN ok THEN nullif(g.p1, '') END AS product,
+               CASE WHEN ok THEN nullif(g.p2, '') END AS year,
+               CASE WHEN ok THEN nullif(g.p3, '') END AS month,
+               CASE WHEN ok THEN nullif(g.p4, '') END AS day,
+               CASE WHEN ok THEN nullif(g.p5, '') END AS mode,
+               CASE WHEN ok THEN nullif(g.p6, '') END AS fname,
+               CASE WHEN NOT ok THEN NULL
+                    WHEN g.p1 LIKE 'S1%' THEN
+                      'https://thumb/' || g.p1 || '/' || g.p2 || '/' ||
+                      g.p3 || '/' || g.p4 || '/' || g.p5 || '/ql/' ||
+                      g.p6 || '/thumbnail.png'
+                    ELSE
+                      'https://thumb/' || g.p1 || '/' || g.p2 || '/' ||
+                      g.p3 || '/' || g.p4 || '/ql/' ||
+                      g.p6 || '/thumbnail.png' END AS thumbnail_url
+        FROM m ORDER BY doc_id
+    """,
+    "json_compact": """
+        SELECT doc_id,
+               to_json(struct_pack(
+                 lang := lang,
+                 n_chars := n_chars::BIGINT,
+                 source := CASE WHEN doc_id % 5 = 0 THEN source END
+               ))::VARCHAR AS j
+        FROM documents ORDER BY doc_id
+    """,
     "facet_on_hits": _facet_on_hits_sql(),
     "json_projection": """
         SELECT event_id, json_extract_string(props, '$.k')::INT AS k

@@ -135,8 +135,14 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         return empty
 
     all_terms = sorted({t for _, c, _ in specs for t in c})
-    meta = {r["term"]: r for r in
-            bindex.meta().filter(F.col("term").isin(all_terms)).collect()}
+    if bindex.term_dict is not None:
+        # driver-pinned term dictionary (BlockIndex.load_term_dict):
+        # zero Spark jobs for planning
+        meta = {t: bindex.term_dict[t] for t in all_terms
+                if t in bindex.term_dict}
+    else:
+        meta = {r["term"]: r for r in
+                bindex.meta().filter(F.col("term").isin(all_terms)).collect()}
 
     plans = []   # (qid, k, {term: w}, champion, total_ub)
     for qid, counts, k in specs:
@@ -171,6 +177,9 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     results = []
 
     # ---- one-job path: decode all query-term blocks, no θ pass --------
+    # single-term queries skip the (query, doc) sum entirely: a doc
+    # appears in exactly one block of its term, so partials are already
+    # per-doc unique — one fewer shuffle per query
     unpruned = single + small_multi
     if unpruned:
         qt = qterms_df([(qid, t, wt) for qid, _, w, *_ in unpruned
@@ -179,8 +188,14 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .withColumn("avgdl", F.lit(avgdl)))
         partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-        scored = partials.groupBy("query_id", "doc_id") \
-            .agg(F.sum("s").alias("score"))
+        if not small_multi:
+            # all single-term: a doc appears in exactly one block of
+            # its term, so partials are already per-doc unique — skip
+            # the (query, doc) sum and its shuffle entirely
+            scored = partials.withColumnRenamed("s", "score")
+        else:
+            scored = partials.groupBy("query_id", "doc_id") \
+                .agg(F.sum("s").alias("score"))
         results.append(_rank_and_limit(scored, k_map, tombstones))
 
     # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
