@@ -31,3 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(gate.ORACLE_SQL)
+
+
+# queries() entries deliberately WITHOUT an oracle (non-SQL-expressible:
+# iterative k-means training) — the driver records a rows-only check;
+# recall-vs-brute is asserted in tests/test_operators.py instead.
+NO_ORACLE_OK = frozenset({"ann_ivf_topk"})

@@ -651,6 +651,27 @@ def q_embedding_dedup(spark, sf_dir):
                            **EMB_DEDUP_PARAMS)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (k-means coarse quantizer + cell-pruned exact
+    re-rank). No SQL oracle: k-means is iterative/non-SQL — the driver
+    records the weaker rows-only check; recall-vs-brute is asserted in
+    tests/test_operators.py."""
+    from .operators.similarity import ann_ivf_topk
+    vecs = _embs(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)) \
+        .withColumnRenamed("vec_id", "query_vec_id")
+    return ann_ivf_topk(vecs, qs, k=10, nlist=16, nprobe=6)
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Sparse tf-idf document vectors (training-data export)."""
+    from .index.build import doc_tfidf
+    index = build_index(_docs(spark, sf_dir), id_col="doc_id")
+    return doc_tfidf(index).select(
+        "term", "doc_id", F.round("tfidf", 6).alias("tfidf_r6")) \
+        .orderBy("term", "doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from .operators.textstats import lang_id
     return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -1016,6 +1037,8 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "doc_tfidf": q_doc_tfidf,
     "embedding_dedup": q_embedding_dedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1122,6 +1145,19 @@ ORACLE_SQL = {
                       g.p3 || '/' || g.p4 || '/ql/' ||
                       g.p6 || '/thumbnail.png' END AS thumbnail_url
         FROM m ORDER BY doc_id
+    """,
+    "doc_tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+        ),
+        corpus AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        SELECT tf.term, tf.doc_id,
+               round(tf.tf * ln(1.0 + (corpus.n_docs - df.df + 0.5)
+                                       / (df.df + 0.5)), 6) AS tfidf_r6
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+        ORDER BY tf.term, tf.doc_id
     """,
     "json_compact": """
         SELECT doc_id,

@@ -109,3 +109,18 @@ def persist_index(index: InvertedIndex, base_dir: str,
     index.doc_stats.write.mode("overwrite").parquet(f"{base_dir}/doc_stats")
     index.term_stats.write.mode("overwrite").parquet(f"{base_dir}/term_stats")
     index.corpus_stats.write.mode("overwrite").parquet(f"{base_dir}/corpus_stats")
+
+
+def doc_tfidf(index: InvertedIndex) -> DataFrame:
+    """(term, <id>, tfidf) sparse document vectors — the tf-idf export
+    a training pipeline feeds to clustering / linear probes. idf is the
+    BM25-family smoothed form ln(1 + (N - df + .5)/(df + .5)); tf is
+    raw term frequency. One broadcast join against term_stats — the
+    postings table is never shuffled."""
+    from ..analysis import idf_col
+    n_docs, _ = index.n_and_avgdl()
+    return (index.postings
+            .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+            .select("term", index.id_col,
+                    (F.col("tf") * idf_col(F.col("df"), F.lit(n_docs)))
+                    .alias("tfidf")))

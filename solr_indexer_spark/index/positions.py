@@ -60,3 +60,96 @@ def phrase_match_positions(pos_postings: DataFrame, phrase: list[str],
                     range(1, len(phrase)), F.col("_p0"))
     return (joined.filter(F.size(common) > 0)
             .select(id_col).orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# Compressed positional lists (NEXT r1 #2): positions are delta-encoded
+# through the SAME tagged dual codec (varbyte/FOR) as the score
+# postings — Lucene compresses positions inside the identical postings
+# format. Encoding is one vectorized _pack_streams pass per Arrow
+# batch (all rows concatenated, never one tiny array at a time).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_POS_SCHEMA = None  # filled lazily to avoid import order issues
+
+
+def _encode_positions_map(it):
+    from .codec import _pack_streams
+    for pdf in it:
+        arrays = [np.asarray(a, np.int64) for a in pdf["positions"]]
+        lens = np.array([a.size for a in arrays], np.int64)
+        if lens.sum() == 0:
+            continue
+        conc = np.concatenate(arrays)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        deltas = np.empty_like(conc)
+        deltas[1:] = conc[1:] - conc[:-1]
+        deltas[starts] = conc[starts]          # row-start = absolute pos
+        blobs = _pack_streams(deltas.astype(np.uint64), starts, ends)
+        out = pdf.drop(columns=["positions"]).copy()
+        out["pos_blob"] = blobs
+        out["n_pos"] = lens.astype("int32")
+        yield out
+
+
+def positional_postings_compressed(docs: DataFrame, id_col: str = "doc_id",
+                                   text_col: str = "text") -> DataFrame:
+    """(term, <id>, pos_blob binary, n_pos) — compressed positional
+    index; phrase queries decode only the query terms' rows."""
+    pos = positional_postings(docs, id_col, text_col)
+    schema = T.StructType([
+        T.StructField("term", T.StringType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pos_blob", T.BinaryType()),
+        T.StructField("n_pos", T.IntegerType()),
+    ])
+    return pos.mapInPandas(_encode_positions_map, schema=schema)
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def _decode_positions_udf(blobs: pd.Series) -> pd.Series:
+    from .codec import decode_stream
+    return blobs.map(lambda b: np.cumsum(
+        decode_stream(bytes(b)).astype(np.int64)).astype(np.int32).tolist())
+
+
+def phrase_match_positions_compressed(pos_comp: DataFrame,
+                                      phrase: list[str],
+                                      id_col: str = "doc_id") -> DataFrame:
+    """Same positional intersection as phrase_match_positions, reading
+    the compressed table — only the phrase terms' rows are ever
+    decoded (Arrow-batched)."""
+    spark = pos_comp.sparkSession
+    if not phrase:
+        return spark.createDataFrame([], f"{id_col} long")
+
+    def shift_by(off: int):
+        return lambda p: p - F.lit(off)
+
+    sides = []
+    for i, term in enumerate(phrase):
+        side = (pos_comp.filter(F.col("term") == term)
+                .select(F.col(id_col),
+                        F.transform(_decode_positions_udf(F.col("pos_blob")),
+                                    shift_by(i)).alias(f"_p{i}")))
+        sides.append(side)
+    joined = reduce(lambda a, b: a.join(b, id_col), sides)
+    common = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"_p{i}")),
+                    range(1, len(phrase)), F.col("_p0"))
+    return (joined.filter(F.size(common) > 0)
+            .select(id_col).orderBy(id_col))
+
+
+def phrase_match(pos_postings: DataFrame, phrase: list[str],
+                 id_col: str = "doc_id") -> DataFrame:
+    """Dispatch on the positional table's schema: raw array<int>
+    positions or codec-compressed pos_blob."""
+    if "pos_blob" in pos_postings.columns:
+        return phrase_match_positions_compressed(pos_postings, phrase, id_col)
+    return phrase_match_positions(pos_postings, phrase, id_col)

@@ -77,10 +77,21 @@ def shingles_col(text_col, n: int = 3) -> F.Column:
 
 
 def dedup_ngram_jaccard(docs: DataFrame, id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """(a, b, j) pairs with shingle-set Jaccard ≥ threshold. Candidates
-    must share ≥1 shingle, so disjoint docs never pair (no n² blow-up;
-    at web scale pair with minhash banding first)."""
+                        n: int = 3, threshold: float = 0.5,
+                        candidates: str = "shingle") -> DataFrame:
+    """(a, b, j) pairs with shingle-set Jaccard ≥ threshold.
+
+    ``candidates='shingle'`` (exact): candidates share ≥1 shingle —
+    recall-complete, but the shared-shingle self-join explodes on any
+    common shingle, so it is the SMALL-corpus / oracle path.
+
+    ``candidates='minhash'`` (web scale): banded-MinHash candidate
+    generation + the same exact-Jaccard verify (recall < 1, bounded
+    shuffle — delegates to dedup_minhash_lsh, which shares the output
+    contract)."""
+    if candidates == "minhash":
+        return dedup_minhash_lsh(docs, id_col=id_col, threshold=threshold,
+                                 shingle_n=n)
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(shingles_col(F.col("text"), n)).alias("s"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

@@ -177,3 +177,106 @@ def embedding_dedup(vectors: DataFrame, threshold: float = 0.95,
              .filter(F.col("cos") >= threshold))
     return pairs.select("a", "b", F.round("cos", 4).alias("cos_r4")) \
         .orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell-pruned scan —
+# the FAISS IVF-Flat shape, Spark-native (NEXT r1 #7). Training is a
+# driver-side numpy Lloyd's over a deterministic sample (k-means is
+# tiny: nlist × dim floats); assignment and search are distributed.
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(vectors: DataFrame, nlist: int = 16, iters: int = 10,
+                     seed: int = 7, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     sample_size: int = 4096) -> np.ndarray:
+    """Spherical k-means (unit-normalized, dot-product assignment) over
+    a deterministic sample (first ``sample_size`` ids). Returns
+    (nlist, dim) float64 centroids, unit-normalized.
+
+    Scale: the sample collect is bounded (sample_size rows); training
+    cost is numpy-local. For 10⁹+ corpora raise sample_size and train
+    on TABLESAMPLE output — the quantizer only needs to be
+    representative, not exact."""
+    rows = (vectors.orderBy(id_col).limit(sample_size)
+            .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, cell) — nearest-centroid assignment, Arrow-batched
+    numpy matmul per partition (no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    C = centroids
+    schema = T.StructType(
+        [vectors.schema[id_col], vectors.schema[vec_col],
+         T.StructField("cell", T.IntegerType(), False)])
+
+    def assign_map(it):
+        for pdf in it:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(Xn @ C.T, axis=1).astype("int32")
+            yield pdf
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign_map,
+                                                       schema=schema)
+
+
+def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_vec_id",
+                 nlist: int = 16, nprobe: int = 4, seed: int = 7,
+                 centroids: np.ndarray | None = None,
+                 assigned: DataFrame | None = None) -> DataFrame:
+    """IVF-Flat approximate top-k: each query probes its ``nprobe``
+    nearest cells; only those cells' vectors are exact-cosine ranked.
+    Pass precomputed ``centroids``/``assigned`` to amortize across
+    query batches (the serving shape: assignment is written once,
+    partitioned by cell, and the per-query scan prunes to
+    nprobe/nlist of the corpus)."""
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, nlist=nlist, seed=seed,
+                                     id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    qrows = queries.select(qid_col, vec_col).collect()
+    pairs = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(centroids @ qn))[:nprobe]
+        for c in cells:
+            pairs.append((r[qid_col], int(c), [float(x) for x in qv]))
+    probe = spark.createDataFrame(
+        pairs, f"{qid_col} long, cell int, qv array<double>")
+
+    cands = (assigned.join(F.broadcast(probe), "cell")
+             .filter(F.col(id_col) != F.col(qid_col)))
+    scored = cands.withColumn("cos", cosine_col(F.col(vec_col),
+                                                F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                    id_col, F.round("cos", 4).alias("cos_r4"))
+            .orderBy(qid_col, "rnk"))

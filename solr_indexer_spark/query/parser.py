@@ -160,10 +160,9 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
                     .select(id_col))
             candidates = candidates.join(nots, id_col, "left_anti")
         if pos_postings is not None and pq.phrases:
-            from ..index.positions import phrase_match_positions
+            from ..index.positions import phrase_match
             for ph in pq.phrases:
-                matches = phrase_match_positions(pos_postings, ph,
-                                                 id_col=id_col)
+                matches = phrase_match(pos_postings, ph, id_col=id_col)
                 candidates = candidates.join(matches, id_col, "left_semi")
 
     scored_terms = pq.should + pq.must

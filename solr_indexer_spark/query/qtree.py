@@ -9,7 +9,8 @@ Grammar (classic Lucene QueryParser subset):
   a AND b               promotes both neighbors to MUST
   a OR b                keeps both SHOULD
   ( ... )               grouping, arbitrarily nested
-  "quoted phrase"       positional adjacency — treated as MUST (gate)
+  "quoted phrase"       positional adjacency — SHOULD by default
+                        (so '"a b" OR "c d"' unions); +/-/AND modify
   field:value           metadata equality  → MUST
   -field:value          negated equality   → MUST_NOT
   field:[a TO b]        inclusive range; '{a TO b}' exclusive; '*' open
@@ -94,7 +95,7 @@ _LEX = re.compile(
     r'"([^"]*)"'                                     # 1: phrase
     rf'|([+\-]?{_FIELD}:[\[\{{][^\]\}}]*[\]\}}])'    # 2: field range
     r'|(\()|(\))'                                    # 3, 4: parens
-    r'|([+\-])(?=\()'                                # 5: modifier on group
+    r'|([+\-])(?=[("])'                              # 5: modifier on group/phrase
     r'|([^\s()]+)'                                   # 6: word
 )
 _RANGE = re.compile(
@@ -217,9 +218,11 @@ def parse_tree(q: str) -> GroupN:
                 pending_mod = MUST if val == "+" else MUST_NOT
             elif kind == "PHRASE":
                 p = tokenize_py(val)
-                # phrases gate (MUST) — the r1 engine contract — unless
-                # explicitly negated
-                add((MUST, PhraseN(p)) if p else None)
+                # Lucene-faithful: a bare phrase is SHOULD (so
+                # '"a b" OR "c d"' unions); +/-/AND/NOT modify it. The
+                # flat path (parser.py, simple queries) keeps the r1
+                # phrase-as-gate contract.
+                add((SHOULD, PhraseN(p)) if p else None)
             elif kind == "RANGE":
                 add(_range_clause(val))
             elif kind == "WORD":
@@ -291,10 +294,9 @@ class TreeExecutor:
 
     def _phrase_ids(self, toks: list[str]) -> DataFrame:
         if self.pos_postings is not None:
-            from ..index.positions import phrase_match_positions
-            return phrase_match_positions(self.pos_postings, toks,
-                                          id_col=self.id_col) \
-                .select(self.id_col)
+            from ..index.positions import phrase_match
+            return phrase_match(self.pos_postings, toks,
+                                id_col=self.id_col).select(self.id_col)
         # doc-scan fallback (no positional index supplied)
         from ..analysis import tokenize_col
         from .parser import _phrase_pred

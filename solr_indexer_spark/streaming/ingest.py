@@ -141,6 +141,16 @@ class StreamingIndexIngest:
         return {"batch_id": batch_id, "docs": n,
                 "superseded": n_superseded, **counters}
 
+    def append_pages(self, pages: DataFrame) -> dict:
+        """Batch-mode segment append (NEXT r1 #4): add new documents to
+        the existing index WITHOUT rebuilding — the same shard-aligned
+        id-range append the streaming path uses (new docs land in new
+        shard generations; recrawled urls tombstone their old doc_ids).
+        The Lucene segment model: an append is a new segment, queries
+        merge lazily, compaction is a rebuild over doc_map."""
+        st = self._state()
+        return self.process_batch(pages, st.get("last_batch_id", -1) + 1)
+
     def start(self, pages_stream: DataFrame, checkpoint_dir: str):
         """Attach to a readStream of pages."""
         return (pages_stream.writeStream

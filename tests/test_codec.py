@@ -83,3 +83,37 @@ def test_max_delta_values():
     _, _, _, _, db, tb, lb, _ = encode_posting_block(doc_ids, tfs, dls, avgdl=7.0)
     d, _, _ = decode_posting_block(db, tb, lb)
     assert d.tolist() == [0, 2**62]
+
+
+def test_compressed_positions_roundtrip_and_phrase(spark):
+    """Positions through the tagged dual codec: decode(encode(p)) == p
+    for every (term, doc), phrase matching identical to the raw
+    positional path, and the blob is smaller than fixed-width."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from solr_indexer_spark.index.codec import decode_stream
+    from solr_indexer_spark.index.positions import (
+        phrase_match_positions, phrase_match_positions_compressed,
+        positional_postings, positional_postings_compressed)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = positional_postings(docs, id_col="doc_id")
+    comp = positional_postings_compressed(docs, id_col="doc_id").cache()
+
+    joined = raw.join(comp, ["term", "doc_id"]).collect()
+    assert len(joined) == raw.count() == comp.count()
+    total_pos, total_bytes = 0, 0
+    for r in joined:
+        got = np.cumsum(decode_stream(bytes(r["pos_blob"]))).tolist()
+        assert got == list(r["positions"]), (r["term"], r["doc_id"])
+        assert r["n_pos"] == len(got)
+        total_pos += len(got)
+        total_bytes += len(r["pos_blob"])
+    # fixed-width int32 baseline: 4 bytes per position
+    assert total_bytes < 4 * total_pos
+
+    for phrase in (["key", "value"], ["slow", "query"], ["value", "table"]):
+        a = {r["doc_id"] for r in
+             phrase_match_positions(raw, phrase).collect()}
+        b = {r["doc_id"] for r in
+             phrase_match_positions_compressed(comp, phrase).collect()}
+        assert a == b and a

@@ -113,3 +113,47 @@ def test_embedding_dedup_lsh_plan_has_no_cartesian(spark, embs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_recall_vs_brute(spark, embs):
+    """IVF-Flat: precision of returned cosines is exact; recall vs
+    brute must be high at nprobe=6/16 on this corpus."""
+    from solr_indexer_spark.operators.similarity import (
+        ann_ivf_topk, ivf_assign, kmeans_centroids)
+    qs = embs.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_vec_id")
+    brute = ann_brute_topk(embs, qs, k=5).collect()
+    C = kmeans_centroids(embs, nlist=16)
+    assigned = ivf_assign(embs, C).cache()
+    # every vector assigned to exactly one cell, all cells in range
+    n = embs.count()
+    assert assigned.count() == n
+    assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 16)) \
+        .count() == 0
+    ivf = ann_ivf_topk(embs, qs, k=5, centroids=C, assigned=assigned,
+                       nprobe=6).collect()
+    btop = {(r["query_vec_id"], r["vec_id"]) for r in brute}
+    itop = {(r["query_vec_id"], r["vec_id"]) for r in ivf}
+    recall = len(btop & itop) / len(btop)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    bcos = {(r["query_vec_id"], r["vec_id"]): r["cos_r4"] for r in brute}
+    for r in ivf:
+        key = (r["query_vec_id"], r["vec_id"])
+        if key in bcos:
+            assert r["cos_r4"] == bcos[key]   # exact cosine re-rank
+
+
+def test_ngram_jaccard_minhash_candidates(spark, docs):
+    """The web-scale candidate path returns a subset of the exact
+    shared-shingle path with identical Jaccard values (precision 1)."""
+    from solr_indexer_spark.operators.dedup import dedup_ngram_jaccard
+    exact = {(r["a"], r["b"]): r["j_r4"] for r in
+             dedup_ngram_jaccard(docs, threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]): r["j_r4"] for r in
+           dedup_ngram_jaccard(docs, threshold=0.5,
+                               candidates="minhash").collect()}
+    assert exact
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) / len(exact) >= 0.5

@@ -60,7 +60,11 @@ def test_parse_goldens():
     assert _shape(parse_tree('va?ue OR tab*')) == [
         ("SHOULD", "W", "va?ue"), ("SHOULD", "W", "tab*")]
     assert _shape(parse_tree('"key value" -lang:zh')) == [
-        ("MUST", "P", ("key", "value")), ("MUST_NOT", "F", "lang", "zh")]
+        ("SHOULD", "P", ("key", "value")), ("MUST_NOT", "F", "lang", "zh")]
+    assert _shape(parse_tree('"key value" OR "slow query"')) == [
+        ("SHOULD", "P", ("key", "value")), ("SHOULD", "P", ("slow", "query"))]
+    assert _shape(parse_tree('+"key value" dup')) == [
+        ("MUST", "P", ("key", "value")), ("SHOULD", "T", "dup")]
     assert positive_terms(parse_tree('dup dup "key value" -hash')) == [
         "dup", "dup", "key", "value"]
 
@@ -119,3 +123,25 @@ def test_search_lucene_routes_advanced_syntax(spark, corpus):
     direct = search_tree("(value OR hash) AND dup", docs, index, k=10)
     assert [tuple(r) for r in via_router.collect()] == \
         [tuple(r) for r in direct.collect()]
+
+
+def test_or_of_phrases(spark, corpus):
+    """NEXT.md r1 #7: boolean OR-of-phrases through the tree engine."""
+    docs, index = corpus
+    from solr_indexer_spark.index.positions import positional_postings
+    pos = positional_postings(docs, id_col="doc_id")
+    got = _match_set_pos(spark, docs, index,
+                         '"key value" OR "slow query"', pos)
+    toks = docs.select("doc_id", tokenize_col("text").alias("tk"))
+    def phrase_docs(a, b):
+        return {r["doc_id"] for r in toks.filter(F.expr(
+            f"exists(sequence(1, greatest(size(tk)-1, 1)), "
+            f"i -> element_at(tk, i) = '{a}' AND "
+            f"size(tk) > i AND element_at(tk, i+1) = '{b}')")).collect()}
+    expect = phrase_docs("key", "value") | phrase_docs("slow", "query")
+    assert got == expect and got
+
+
+def _match_set_pos(spark, docs, index, q, pos):
+    hits = search_tree(q, docs, index, k=10_000, pos_postings=pos)
+    return {r["doc_id"] for r in hits.collect()}

@@ -124,3 +124,44 @@ def test_cross_batch_latest_wins_tombstones(spark, pages, tmp_path):
     live = hits.join(doc_map, "doc_id")
     assert live.count() > 0
     assert live.filter(F.col("batch_id") != 1).count() == 0
+
+
+def test_batch_segment_append(spark, pages, tmp_path):
+    """NEXT r1 #4: batch-mode append adds docs to an existing index
+    without rebuilding — earlier shards' block files are untouched."""
+    import os
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    half1 = pages.filter(F.crc32("url") % 2 == 0)
+    half2 = pages.filter(F.crc32("url") % 2 == 1)
+    r0 = ing.append_pages(half1)
+    assert r0["docs"] > 0
+
+    def block_files():
+        out = {}
+        for root, _d, files in os.walk(os.path.join(base, "blocks")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = block_files()
+    r1 = ing.append_pages(half2)
+    assert r1["docs"] > 0 and r1["batch_id"] == r0["batch_id"] + 1
+    after = block_files()
+    # pure append: every pre-existing block file is byte-untouched
+    for p, meta in before.items():
+        assert after.get(p) == meta, f"append rewrote {p}"
+    assert len(after) > len(before)
+
+    # appended index answers identically to a fresh union build
+    bindex = ing.load(spark)
+    doc_map = ing.doc_map(spark)
+    streamed = _hits_by_url(spark, bindex, doc_map, 0)
+    good, _ = validate(pages)
+    ref_docs = assign_doc_ids(good, id_col="url")
+    ref_bindex = build_block_index(build_index(ref_docs, id_col="doc_id"),
+                                   shard_range=128)
+    expected = _hits_by_url(spark, ref_bindex,
+                            ref_docs.select("doc_id", "url"), 0)
+    assert streamed == expected
