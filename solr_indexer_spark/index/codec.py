@@ -110,6 +110,7 @@ def vb_decode(buf: bytes) -> np.ndarray:
 
 TAG_VB = 0
 TAG_FOR = 1
+TAG_PFOR = 2
 
 
 def _for_header(width: int, n: int) -> bytes:
@@ -126,12 +127,59 @@ def for_decode(buf: bytes) -> np.ndarray:
         axis=1, dtype=np.uint64)
 
 
+def _pack_bits(vals: np.ndarray, width: int) -> bytes:
+    bits = ((vals[:, None] >> np.arange(width, dtype=np.uint64))
+            & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def pfor_encode(vals: np.ndarray, width: int,
+                exc_idx: np.ndarray) -> bytes:
+    """Patched FOR (NEXT r1 #3 remaining): low ``width`` bits of every
+    value packed as FOR; the ≤255 exception values' HIGH bits stored as
+    a varbyte patch list (delta positions + high parts) after the
+    payload. Layout:
+    [0x02][width:1B][n:2B LE][n_exc:1B][packed][vb idx deltas][vb highs]
+    — one outlier no longer forces the whole block to its width."""
+    n = vals.size
+    low = vals & np.uint64((1 << width) - 1)
+    payload = _pack_bits(low, width)
+    idx_deltas = np.diff(exc_idx.astype(np.uint64), prepend=np.uint64(0))
+    highs = (vals[exc_idx] >> np.uint64(width)).astype(np.uint64)
+    idx_b, idx_lens = vb_encode_with_lens(idx_deltas)
+    return (bytes((TAG_PFOR, width, n & 0xFF, (n >> 8) & 0xFF,
+                   exc_idx.size))
+            + payload + bytes((len(idx_b) & 0xFF, (len(idx_b) >> 8) & 0xFF))
+            + idx_b + vb_encode(highs))
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    width = buf[1]
+    n = buf[2] | (buf[3] << 8)
+    n_exc = buf[4]
+    body = 5 + (n * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(buf[5:body], np.uint8),
+                         bitorder="little", count=n * width)
+    mat = bits.reshape(n, width).astype(np.uint64)
+    out = (mat << np.arange(width, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)
+    if n_exc:
+        idx_len = buf[body] | (buf[body + 1] << 8)
+        idx = np.cumsum(vb_decode(buf[body + 2:body + 2 + idx_len])
+                        .astype(np.int64))
+        highs = vb_decode(buf[body + 2 + idx_len:])
+        out[idx] |= highs << np.uint64(width)
+    return out
+
+
 def decode_stream(buf: bytes) -> np.ndarray:
-    """Decode a tagged stream (vb or FOR) → uint64 array."""
+    """Decode a tagged stream (vb, FOR or patched-FOR) → uint64 array."""
     if len(buf) == 0:
         return np.empty(0, np.uint64)
     if buf[0] == TAG_FOR:
         return for_decode(buf)
+    if buf[0] == TAG_PFOR:
+        return pfor_decode(buf)
     return vb_decode(buf[1:])
 
 
@@ -152,7 +200,8 @@ def _pack_streams(values: np.ndarray, starts: np.ndarray,
     ns = (ends - starts).astype(np.int64)
     vb_sizes = vb_off[ends] - vb_off[starts] + 1          # + tag byte
     for_sizes = 4 + (ns * widths + 7) // 8
-    use_for = for_sizes < vb_sizes
+    # FOR/PFOR headers carry n in 2 bytes — longer streams stay varbyte
+    use_for = (for_sizes < vb_sizes) & (ns <= 0xFFFF)
 
     out: list = [None] * n_blocks
     for bi in np.where(~use_for)[0]:
@@ -172,6 +221,37 @@ def _pack_streams(values: np.ndarray, starts: np.ndarray,
             hdr = _for_header(width, n)
             for row, bi in enumerate(bis):
                 out[bi] = hdr + packed[row].tobytes()
+
+    # ---- patched-FOR upgrade pass (NEXT r1 #3) ------------------------
+    # vectorized prefilter: blocks whose top ≥4 bits are carried by only
+    # a few outliers (≤ max(1, n/8) values within 4 bits of the max) —
+    # for those, re-encode with the outliers as a varbyte patch list and
+    # keep the smaller stream. One outlier delta no longer forces the
+    # whole block to its width.
+    bl = np.zeros(values.size, np.uint8)
+    tmp = values.copy()
+    while (tmp > 0).any():
+        bl[tmp > 0] += 1
+        tmp >>= np.uint64(1)
+    bl = np.maximum(bl, 1)
+    mean_bl = (np.add.reduceat(bl.astype(np.int64), starts) / ns)
+    cand = np.where((widths >= 6) & (widths - mean_bl >= 4) &
+                    (ns >= 8) & (ns <= 0xFFFF))[0]
+    for bi in cand:
+        s, e = starts[bi], ends[bi]
+        vals = values[s:e]
+        bls = bl[s:e]
+        n = int(ns[bi])
+        n_exc_max = min(max(n // 16, 1), 255)
+        w = int(np.sort(bls)[-(n_exc_max + 1)])
+        if w < 1 or w >= widths[bi]:
+            continue
+        exc = np.where(bls > w)[0]
+        if not exc.size or exc.size > 255:
+            continue
+        blob = pfor_encode(vals, w, exc)
+        if len(blob) < len(out[bi]):
+            out[bi] = blob
     return out
 
 

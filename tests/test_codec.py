@@ -117,3 +117,49 @@ def test_compressed_positions_roundtrip_and_phrase(spark):
         b = {r["doc_id"] for r in
              phrase_match_positions_compressed(comp, phrase).collect()}
         assert a == b and a
+
+
+def test_pfor_outlier_patching():
+    """Patched-FOR: a block of tiny deltas with few large outliers must
+    encode near the small width (patch list), decode exactly, and win
+    over both plain FOR and varbyte. Long streams (n > 65535) must stay
+    varbyte (2-byte n header guard)."""
+    import numpy as np
+    from solr_indexer_spark.index.codec import (
+        TAG_PFOR, TAG_VB, _pack_streams, decode_stream, pfor_encode,
+        pfor_decode)
+
+    vals = np.ones(128, np.uint64)
+    vals[17] = 2 ** 20
+    vals[93] = 2 ** 24
+    blob = _pack_streams(vals, np.array([0]), np.array([128]))[0]
+    assert blob[0] == TAG_PFOR
+    assert np.array_equal(decode_stream(blob), vals)
+    # plain FOR at width 25 would be 4 + ceil(128*25/8) = 404 bytes
+    assert len(blob) < 60
+
+    # direct encode/decode with explicit exceptions
+    idx = np.array([17, 93])
+    blob2 = pfor_encode(vals, 1, idx)
+    assert np.array_equal(pfor_decode(blob2), vals)
+
+    # n > 65535 → varbyte fallback (headers carry n in 2 bytes)
+    big = np.ones(70_000, np.uint64)
+    blob3 = _pack_streams(big, np.array([0]), np.array([70_000]))[0]
+    assert blob3[0] == TAG_VB
+    assert np.array_equal(decode_stream(blob3), big)
+
+
+def test_pfor_fuzz_roundtrip():
+    import numpy as np
+    from solr_indexer_spark.index.codec import _pack_streams, decode_stream
+    rng = np.random.default_rng(42)
+    for _ in range(120):
+        n = int(rng.integers(1, 129))
+        vals = rng.integers(1, 6, size=n).astype(np.uint64)
+        k = int(rng.integers(0, min(4, n) + 1))
+        if k:
+            vals[rng.choice(n, size=k, replace=False)] = \
+                rng.integers(2 ** 10, 2 ** 40, size=k).astype(np.uint64)
+        blob = _pack_streams(vals, np.array([0]), np.array([n]))[0]
+        assert np.array_equal(decode_stream(blob), vals)

@@ -78,11 +78,11 @@ def test_latest_wins_full_tiebreak_deterministic(spark):
     tie-break chain is sha, then html length desc, then lang asc."""
     from solr_indexer_spark.extract import extract_pages, latest_wins
     rows = [
-        ("u1", "2024-01-01T00:00:00", "<p>same text</p>", "en"),
-        ("u1", "2024-01-01T00:00:00", "<p>same   text</p>", "de"),
-        ("u1", "2024-01-01T00:00:00", "<p>same  text</p>", "fr"),
+        ("u1", "2024-01-01T00:00:00", b"<p>same text</p>", "en"),
+        ("u1", "2024-01-01T00:00:00", b"<p>same   text</p>", "de"),
+        ("u1", "2024-01-01T00:00:00", b"<p>same  text</p>", "fr"),
     ]
-    pages = spark.createDataFrame(rows, "url string, warc_ts string, html string, lang string")
+    pages = spark.createDataFrame(rows, "url string, warc_ts string, html binary, lang string")
     outs = set()
     for _ in range(3):
         r = latest_wins(extract_pages(pages)).select("url", "lang", "html").collect()
