@@ -72,6 +72,26 @@ def main() -> None:
     docs = docs.repartition(n_parts).cache()
     n_docs = docs.count()
 
+    # tokenize-probe mode: the map side alone (tokenize+explode+narrow
+    # agg, no wide shuffle) — the compute-bound scaling workload; the
+    # full build at sandbox sizes is fixed-overhead-bound (BENCH.md)
+    if os.environ.get("BENCH_PROBE") == "tokenize":
+        from solr_indexer_spark.analysis import tokenize_col
+        t0 = time.perf_counter()
+        agg = docs.select(F.explode(tokenize_col("text")).alias("t")) \
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length("t")).alias("chars")).collect()[0]
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "tokenize_probe", "value": round(dt, 3),
+            "unit": "sec", "queries": {"index_build": round(dt, 4)},
+            "sf": SF_DIR.rstrip("/").split("sf")[-1], "n_docs": n_docs,
+            "n_tokens": int(agg["n"]), "cpus": CPUS,
+            "docs_per_sec": round(n_docs / dt, 1),
+            "tokens_per_sec": round(int(agg["n"]) / dt, 1)}))
+        spark.stop()
+        return
+
     # --- index build (headline throughput) ---
     t0 = time.perf_counter()
     index = build_index(docs, id_col="doc_id")

@@ -252,6 +252,43 @@ def q_date_range_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Point ops: realtime get, delete-by-query (SURVEY S10 / S7)
 # ---------------------------------------------------------------------------
 
+SCHEMA_SPEC = {"required": ["text"], "types": {"n_chars": "int"},
+               "vocab": {"lang": ["en", "no", "de", "fr"]},
+               "max_len": {"source": 4}}
+
+
+def q_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSD-analogue declarative schema validation with a per-executor
+    compiled-schema cache (solrindexer/mmd.py:238-271 + 51-94):
+    warn-only mode — every row kept, violations logged."""
+    from .schema_validate import validate_schema
+    out = validate_schema(
+        _docs(spark, sf_dir), SCHEMA_SPEC,
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return out.select(
+        "doc_id", "schema_ok",
+        F.size("schema_errors").cast("long").alias("n_errors"),
+        F.try_element_at("schema_errors", F.lit(1)).alias("first_error"),
+    ).orderBy("doc_id")
+
+
+def q_raw_doc_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[xml]-style raw-document fl transformer (solrindexer/search.py:
+    222-229 --mmd: hits come back with the ORIGINAL stored document).
+    Here: top-10 BM25 hits for 'dup' joined back to the full stored
+    text; sha256 proves byte-identity of the returned raw doc."""
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    q = spark.createDataFrame([(1, "dup", 10)],
+                              "query_id int, query_text string, k int")
+    hits = topk(q, index).select("doc_id", F.col("rank").cast("long")
+                                 .alias("rnk"))
+    return (docs.join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "rnk",
+                    F.sha2(F.encode("text", "UTF-8"), 256).alias("raw_sha"))
+            .orderBy("rnk"))
+
+
 def q_sentinel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentinel product detect+split (solrindexer/mmd.py:1100-1119):
     synthetic product strings derived deterministically from doc_id."""
@@ -1026,6 +1063,8 @@ QUERIES = {
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
     "lucene_wildcard": q_lucene_wildcard,
+    "raw_doc_fl": q_raw_doc_fl,
+    "schema_validate": q_schema_validate,
     "sentinel_split": q_sentinel_split,
     "nbs_thumbnail": q_nbs_thumbnail,
     "json_compact": q_json_compact,
@@ -1076,6 +1115,56 @@ ORACLE_SQL = {
     "lucene_bool_groups": _bool_groups_sql(),
     "lucene_field_range": _field_range_sql(),
     "lucene_wildcard": _wildcard_sql(),
+    "schema_validate": """
+        WITH v AS (
+          SELECT doc_id,
+                 (text IS NULL OR trim(text) = '') AS e_req,
+                 FALSE AS e_type,   -- n_chars int column is always castable
+                 (lang IS NOT NULL AND lang NOT IN ('en','no','de','fr'))
+                   AS e_vocab,
+                 (source IS NOT NULL AND length(source) > 4) AS e_maxlen
+          FROM documents
+        )
+        SELECT doc_id,
+               NOT (e_req OR e_type) AS schema_ok,
+               (e_req::INT + e_type::INT + e_vocab::INT + e_maxlen::INT)::BIGINT
+                 AS n_errors,
+               CASE WHEN e_req THEN 'failure:text:required'
+                    WHEN e_type THEN 'failure:n_chars:type:int'
+                    WHEN e_vocab THEN 'warning:lang:vocab'
+                    WHEN e_maxlen THEN 'warning:source:max_len:4'
+               END AS first_error
+        FROM v ORDER BY doc_id
+    """,
+    "raw_doc_fl": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+        ),
+        dl AS (SELECT doc_id, coalesce(len({tokenize_sql('text')}), 0) AS dl
+               FROM documents),
+        corpus AS (SELECT count(*) AS n_docs,
+                          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl
+                                                / corpus.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN corpus
+          WHERE tf.term = 'dup' GROUP BY tf.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS})
+                                    DESC, doc_id) AS rnk
+          FROM scored
+        )
+        SELECT d.doc_id, r.rnk, sha256(d.text) AS raw_sha
+        FROM documents d JOIN ranked r USING (doc_id)
+        WHERE r.rnk <= 10 ORDER BY r.rnk
+    """,
     "sentinel_split": """
         WITH p AS (
           SELECT doc_id,

@@ -93,3 +93,38 @@ def test_latest_wins_full_tiebreak_deterministic(spark):
     lens = {(row[3], len(row[2])) for row in rows}
     max_len = max(l for _, l in lens)
     assert len(outs.pop()[1]) == max_len
+
+
+def test_schema_validate_compiled_cache_and_rules(spark):
+    """XSD-analogue schema validation (mmd.py:238-271): per-process
+    compiled-schema cache (mmd.py:51-94 pattern) + vectorized rules."""
+    from solr_indexer_spark.schema_validate import (
+        canonical_spec, compile_count, compile_schema, validate_schema)
+    spec = {"required": ["text"], "vocab": {"lang": ["en", "de"]},
+            "max_len": {"source": 4}, "types": {"n_chars": "int"}}
+    rows = [
+        (1, "good text", "en", "src1", 10),
+        (2, None, "en", "src1", 10),          # required failure
+        (3, "  ", "de", "src1", 10),          # required failure (blank)
+        (4, "ok", "zh", "verylongsrc", 10),   # two warnings
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    out = {r["doc_id"]: r for r in validate_schema(
+        df, spec, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).collect()}
+    assert out[1]["schema_ok"] and out[1]["schema_errors"] == []
+    assert not out[2]["schema_ok"]
+    assert "failure:text:required" in out[2]["schema_errors"]
+    assert not out[3]["schema_ok"]
+    assert out[4]["schema_ok"]            # warnings keep the row ok
+    assert sorted(out[4]["schema_errors"]) == [
+        "warning:lang:vocab", "warning:source:max_len:4"]
+
+    # compiled-schema cache: same spec compiles once per process
+    sj = canonical_spec(spec)
+    before = compile_count()
+    compile_schema(sj)
+    compile_schema(sj)
+    after = compile_count()
+    assert after <= before + 1
