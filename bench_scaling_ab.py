@@ -1,0 +1,87 @@
+"""Intra-session scaling A/B — the cleanest N-vs-4N evidence this
+sandbox can produce.
+
+The subprocess-per-level protocol (bench_scaling.py) is at the mercy of
+the host's CPU token bucket: identical adjacent runs vary up to 7×, so
+any cross-process comparison conflates bucket state with job behavior.
+This harness instead holds ONE Spark session at local[32] and limits
+effective parallelism by PARTITION COUNT: a p-partition cached input
+runs exactly p concurrent tasks on an otherwise idle 32-slot scheduler
+— the same JVM, same python workers, same bucket, interleaved
+(hi, lo, lo, hi, hi, lo) seconds apart, so bucket drift cancels to
+first order. Workload: the tokenize+explode+agg map probe (the
+compute-bound stage; the full build at sandbox sizes is
+fixed-overhead-bound — see BENCH.md).
+
+Usage: python bench_scaling_ab.py [--low 2] [--high 8] [--replicate 50]
+Prints one JSON line with both walls and efficiency = speedup / ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.analysis import tokenize_col
+from solr_indexer_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--replicate", type=int, default=50)
+    ap.add_argument("--text-mult", type=int, default=8)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    spark = get_spark("scale_ab", master="local[32]",
+                      shuffle_partitions=32)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    docs = (docs.crossJoin(spark.range(args.replicate)
+                           .withColumnRenamed("id", "_rep"))
+            .withColumn("doc_id",
+                        F.col("doc_id") * args.replicate + F.col("_rep"))
+            .drop("_rep")
+            .withColumn("text", F.repeat(
+                F.concat(F.col("text"), F.lit(" ")), args.text_mult)))
+
+    variants = {}
+    for p in (args.low, args.high):
+        v = docs.repartition(p).cache()
+        n_docs = v.count()
+        variants[p] = v
+
+    def probe(df) -> float:
+        t0 = time.perf_counter()
+        df.select(F.explode(tokenize_col("text")).alias("t")) \
+          .agg(F.count("*"), F.sum(F.length("t"))).collect()
+        return time.perf_counter() - t0
+
+    probe(variants[args.high])          # warm python workers / codegen
+    best = {args.low: float("inf"), args.high: float("inf")}
+    order = [args.high, args.low, args.low, args.high,
+             args.high, args.low]
+    for p in order:
+        best[p] = min(best[p], probe(variants[p]))
+
+    ratio = args.high / args.low
+    speedup = best[args.low] / best[args.high]
+    print(json.dumps({
+        "job": "tokenize_probe_intra_session",
+        "sf_dir": args.sf_dir, "n_docs": n_docs,
+        f"wall_sec_p{args.low}": round(best[args.low], 3),
+        f"wall_sec_p{args.high}": round(best[args.high], 3),
+        "parallelism_ratio": ratio,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / ratio, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -496,6 +496,63 @@ def q_lucene_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("score", 4).alias("score_r"))
 
 
+def q_lucene_wildcard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard TOP_TERMS(3) scoring rewrite (Lucene
+    TopTermsScoringBooleanQueryRewrite): 's*' expands to its 3
+    highest-df terms which score like SHOULD terms."""
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_tree("s* AND dup", docs, index, k=10,
+                       wildcard_top_terms=3)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def _wildcard_scored_sql() -> str:
+    tok = tokenize_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expanded AS (
+  SELECT term FROM df WHERE term LIKE 's%'
+  ORDER BY df DESC, term ASC LIMIT 3
+),
+qt AS (
+  SELECT term, count(*) AS qtf FROM (
+    SELECT term FROM expanded UNION ALL SELECT 'dup'
+  ) GROUP BY term
+),
+gated AS (
+  SELECT doc_id FROM t
+  WHERE len(list_filter(toks, x -> x LIKE 's%')) > 0
+    AND list_contains(toks, 'dup')
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(qt.qtf * ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN qt USING (term) JOIN df USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+s2 AS (SELECT g.doc_id, coalesce(s.score, 0.0) AS score
+       FROM gated g LEFT JOIN scored s USING (doc_id)),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM s2
+)
+SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
 def _scored_gate_sql(score_terms: list[str], gate_cond: str,
                      k: int = 10) -> str:
     """BM25 over ``score_terms`` restricted to docs satisfying
@@ -1063,6 +1120,7 @@ QUERIES = {
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
     "lucene_wildcard": q_lucene_wildcard,
+    "lucene_wildcard_scored": q_lucene_wildcard_scored,
     "raw_doc_fl": q_raw_doc_fl,
     "schema_validate": q_schema_validate,
     "sentinel_split": q_sentinel_split,
@@ -1115,6 +1173,7 @@ ORACLE_SQL = {
     "lucene_bool_groups": _bool_groups_sql(),
     "lucene_field_range": _field_range_sql(),
     "lucene_wildcard": _wildcard_sql(),
+    "lucene_wildcard_scored": _wildcard_scored_sql(),
     "schema_validate": """
         WITH v AS (
           SELECT doc_id,

@@ -35,10 +35,15 @@ from pyspark.sql import functions as F
 
 
 class DocTable:
-    def __init__(self, spark: SparkSession, base_dir: str, id_col: str = "doc_id"):
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 id_col: str = "doc_id",
+                 auto_compact_deltas: int | None = None):
         self.spark = spark
         self.base_dir = base_dir
         self.id_col = id_col
+        # fold deltas into a new base once this many accumulate (None =
+        # manual compact() only) — merge-on-read cost stays bounded
+        self.auto_compact_deltas = auto_compact_deltas
         os.makedirs(base_dir, exist_ok=True)
         self._ptr = os.path.join(base_dir, "_snapshot.json")
         self._tomb_dir = os.path.join(base_dir, "tombstones")
@@ -167,6 +172,9 @@ class DocTable:
         ptr["deltas"].append({"path": path,
                               "cols": sorted(assignments.keys())})
         self._write_ptr(ptr)
+        if (self.auto_compact_deltas is not None
+                and len(ptr["deltas"]) >= self.auto_compact_deltas):
+            self.compact()
         return n
 
     def compact(self) -> None:

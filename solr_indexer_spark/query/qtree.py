@@ -269,6 +269,18 @@ def positive_terms(g: GroupN) -> list[str]:
     return out
 
 
+def positive_wildcards(g: GroupN) -> list[str]:
+    out: list[str] = []
+    for mod, node in g.clauses:
+        if mod == MUST_NOT:
+            continue
+        if isinstance(node, WildcardN):
+            out.append(node.pattern)
+        elif isinstance(node, GroupN):
+            out.extend(positive_wildcards(node))
+    return out
+
+
 class TreeExecutor:
     """Matches a GroupN against an InvertedIndex + doc table; all set
     algebra stays distributed (semi/anti joins + union distinct)."""
@@ -350,12 +362,17 @@ class TreeExecutor:
 
 
 def search_tree(q: str, docs: DataFrame, index, k: int = 10,
-                pos_postings: DataFrame | None = None) -> DataFrame:
+                pos_postings: DataFrame | None = None,
+                wildcard_top_terms: int | None = None) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
 
-    score = BM25 over the tree's positive text terms (wildcards are
-    constant-score — matched docs without any scored term rank by id at
-    score 0, like Lucene's MultiTermQuery CONSTANT_SCORE rewrite)."""
+    score = BM25 over the tree's positive text terms. Wildcards follow
+    Lucene's MultiTermQuery rewrites: CONSTANT_SCORE by default
+    (matched docs without any scored term rank by id at score 0);
+    with ``wildcard_top_terms=N`` the TOP_TERMS(N) rewrite — each
+    positive wildcard expands to its N highest-docFreq terms
+    (df DESC, term ASC — Lucene's TopTermsScoringBooleanQueryRewrite
+    priority), which then score like ordinary SHOULD terms."""
     from .scorer import score_exact
     tree = parse_tree(q)
     id_col = index.id_col
@@ -364,6 +381,14 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
 
     matched = ex.match_ids(tree)
     terms = positive_terms(tree)
+    if wildcard_top_terms is not None:
+        for pattern in positive_wildcards(tree):
+            like = _wildcard_like(pattern)
+            rows = (index.term_stats.filter(F.col("term").like(like))
+                    .select("term", "df")
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(wildcard_top_terms).collect())
+            terms.extend(r["term"] for r in rows)
     if terms:
         queries = spark.createDataFrame(
             [(0, " ".join(terms), k)],

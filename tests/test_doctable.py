@@ -121,3 +121,14 @@ def test_compact_folds_deltas_and_tombstones(table, spark):
     got = sorted((r["doc_id"], bool(r["isParent"] or False))
                  for r in table.current().select("doc_id", "isParent").collect())
     assert got == expect
+
+
+def test_auto_compaction_policy(table, spark):
+    """Deltas fold into a new base automatically past the threshold."""
+    table.auto_compact_deltas = 3
+    for i in range(4):
+        ids = spark.createDataFrame([(i,)], "doc_id long")
+        table.update_set(ids, {"isParent": True})
+    st = table.status()
+    assert st["n_deltas"] < 4          # compaction fired
+    assert table.current().filter("isParent").count() == 4

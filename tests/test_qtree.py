@@ -145,3 +145,24 @@ def test_or_of_phrases(spark, corpus):
 def _match_set_pos(spark, docs, index, q, pos):
     hits = search_tree(q, docs, index, k=10_000, pos_postings=pos)
     return {r["doc_id"] for r in hits.collect()}
+
+
+def test_wildcard_top_terms_scoring(spark, corpus):
+    """TOP_TERMS(N) rewrite: expanded terms score; constant-score path
+    ranks the same matched set by id at score 0 when nothing else
+    scores."""
+    docs, index = corpus
+    cs = search_tree("s*", docs, index, k=1000)
+    tt = search_tree("s*", docs, index, k=1000, wildcard_top_terms=2)
+    cs_rows = cs.collect()
+    tt_rows = tt.collect()
+    # identical matched set either way
+    assert {r["doc_id"] for r in cs_rows} == {r["doc_id"] for r in tt_rows}
+    assert all(r["score"] == 0.0 for r in cs_rows)
+    assert any(r["score"] > 0.0 for r in tt_rows)
+    # expansion = 2 highest-df s-terms
+    top2 = [r["term"] for r in
+            index.term_stats.filter(F.col("term").like("s%"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(2).collect()]
+    assert len(top2) == 2
