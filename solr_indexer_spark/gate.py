@@ -252,6 +252,28 @@ def q_date_range_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Point ops: realtime get, delete-by-query (SURVEY S10 / S7)
 # ---------------------------------------------------------------------------
 
+def q_wkt_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect segmentize + centroid (solrindexer/spatial.py:202-241,
+    shapely-free): synthetic integer bboxes per doc → WKT → segmentize
+    at max edge 3 → vertex count + centroid, both SQL-derivable from
+    the same bbox arithmetic (ceil(edge/3) pieces per edge)."""
+    from .functions.geometry import wkt_centroid_udf, wkt_segmentize_udf
+    from .functions.spatial import bbox_wkt_polygon
+    d = _docs(spark, sf_dir)
+    w = -(F.col("doc_id") % 170).cast("double")
+    s = -(F.col("doc_id") % 80).cast("double")
+    e = w + (F.col("doc_id") % 20) + 1
+    n = s + (F.col("doc_id") % 9) + 1
+    wkt = bbox_wkt_polygon(w, e, n, s)
+    seg = wkt_segmentize_udf(wkt)
+    n_verts = F.size(F.split(seg, ","))
+    return d.select(
+        "doc_id",
+        n_verts.cast("long").alias("n_vertices"),
+        wkt_centroid_udf(wkt).alias("centroid"),
+    ).orderBy("doc_id")
+
+
 SCHEMA_SPEC = {"required": ["text"], "types": {"n_chars": "int"},
                "vocab": {"lang": ["en", "no", "de", "fr"]},
                "max_len": {"source": 4}}
@@ -1123,6 +1145,7 @@ QUERIES = {
     "lucene_wildcard_scored": q_lucene_wildcard_scored,
     "raw_doc_fl": q_raw_doc_fl,
     "schema_validate": q_schema_validate,
+    "wkt_segmentize": q_wkt_segmentize,
     "sentinel_split": q_sentinel_split,
     "nbs_thumbnail": q_nbs_thumbnail,
     "json_compact": q_json_compact,
@@ -1174,6 +1197,27 @@ ORACLE_SQL = {
     "lucene_field_range": _field_range_sql(),
     "lucene_wildcard": _wildcard_sql(),
     "lucene_wildcard_scored": _wildcard_scored_sql(),
+    "wkt_segmentize": """
+        WITH b AS (
+          SELECT doc_id,
+                 -(doc_id % 170)::DOUBLE AS w,
+                 -(doc_id % 80)::DOUBLE AS s,
+                 -(doc_id % 170)::DOUBLE + (doc_id % 20) + 1 AS e,
+                 -(doc_id % 80)::DOUBLE + (doc_id % 9) + 1 AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               (1 + 2 * (ceil((e - w) / 3.0) + ceil((n - s) / 3.0)))::BIGINT
+                 AS n_vertices,
+               'POINT (' ||
+                 CASE WHEN (w + e) / 2 = round((w + e) / 2, 0)
+                      THEN round((w + e) / 2, 0)::BIGINT::VARCHAR
+                      ELSE ((w + e) / 2)::VARCHAR END || ' ' ||
+                 CASE WHEN (s + n) / 2 = round((s + n) / 2, 0)
+                      THEN round((s + n) / 2, 0)::BIGINT::VARCHAR
+                      ELSE ((s + n) / 2)::VARCHAR END || ')' AS centroid
+        FROM b ORDER BY doc_id
+    """,
     "schema_validate": """
         WITH v AS (
           SELECT doc_id,

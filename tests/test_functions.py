@@ -158,3 +158,83 @@ def test_bbox_valid_and_intersects(spark):
                                        0.0, 5.0, 70.0, 65.0).alias("o")) \
         .collect()
     assert hits[0]["o"] is True
+
+
+def test_geometry_segmentize_centroid_geojson():
+    """Pure-python shapely-free subset of solrindexer/spatial.py:202-267:
+    segmentize vertex math, shoelace centroid, GeoJSON, repair seam."""
+    import json
+    import pytest as _pytest
+    from solr_indexer_spark.functions.geometry import (
+        is_axis_rect, parse_wkt, segmentize, validate_fix_geometry,
+        wkt_centroid, wkt_rect_to_segmentized, to_geojson)
+
+    rect = "POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))"
+    kind, coords = parse_wkt(rect)
+    assert kind == "polygon" and is_axis_rect(coords)
+    seg = segmentize(coords, 3.0)
+    # edges 10,4,10,4 -> ceil(10/3)=4, ceil(4/3)=2 pieces: 4+2+4+2 new pts
+    assert len(seg) == 1 + 4 + 2 + 4 + 2
+    # every segment <= 3 + eps
+    import math
+    for (x0, y0), (x1, y1) in zip(seg, seg[1:]):
+        assert math.hypot(x1 - x0, y1 - y0) <= 3.0 + 1e-9
+    assert seg[0] == seg[-1] == (0.0, 0.0)
+
+    out = wkt_rect_to_segmentized(rect)
+    assert out.startswith("POLYGON ((0 0, 2.5 0")
+    gj = json.loads(wkt_rect_to_segmentized(rect, output="GeoJSON"))
+    assert gj["type"] == "Polygon" and len(gj["coordinates"][0]) == 13
+
+    # non-rect polygon passes through un-segmentized
+    tri = "POLYGON ((0 0, 10 0, 5 8, 0 0))"
+    assert wkt_rect_to_segmentized(tri) == "POLYGON ((0 0, 10 0, 5 8, 0 0))"
+    # linestring always segmentizes
+    ln = wkt_rect_to_segmentized("LINESTRING (0 0, 9 0)")
+    assert ln == "LINESTRING (0 0, 3 0, 6 0, 9 0)"
+
+    assert wkt_centroid(rect) == "POINT (5 2)"
+    assert wkt_centroid("POINT (3 4)") == "POINT (3 4)"
+    assert wkt_centroid("LINESTRING (0 0, 4 0)") == "POINT (2 0)"
+
+    assert to_geojson("point", [(1.5, -2.0)]) == \
+        '{"type":"Point","coordinates":[1.5,-2.0]}'
+
+    # valid geometry passes through the repair seam; bowtie raises
+    assert validate_fix_geometry(rect) == "POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))"
+    with _pytest.raises(NotImplementedError):
+        validate_fix_geometry("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+
+
+def test_geometry_udfs(spark):
+    from pyspark.sql import functions as F
+    from solr_indexer_spark.functions.geometry import (
+        wkt_centroid_udf, wkt_segmentize_udf, wkt_to_geojson_udf)
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))",), ("POINT (1 2)",)],
+        "wkt string")
+    rows = df.select(
+        wkt_segmentize_udf("wkt").alias("seg"),
+        wkt_centroid_udf("wkt").alias("c"),
+        wkt_to_geojson_udf("wkt").alias("gj")).collect()
+    assert rows[0]["c"] == "POINT (5 2)"
+    assert rows[1]["gj"] == '{"type":"Point","coordinates":[1.0,2.0]}'
+    assert "2.5 0" in rows[0]["seg"]
+
+
+def test_gml_to_wkt():
+    from solr_indexer_spark.functions.geometry import parse_gml_polygon
+    gml = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+           'srsName="urn:ogc:def:crs:EPSG::4326"><gml:exterior>'
+           '<gml:LinearRing><gml:posList>60 10 60 12 62 12 62 10 60 10'
+           '</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>')
+    # EPSG:4326 is lat-lon in GML -> swapped to lon-lat WKT
+    assert parse_gml_polygon(gml) == \
+        "POLYGON ((10 60, 12 60, 12 62, 10 62, 10 60))"
+    gml2 = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml">'
+            '<gml:outerBoundaryIs><gml:LinearRing>'
+            '<gml:coordinates>10,60 12,60 12,62 10,62</gml:coordinates>'
+            '</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>')
+    # GML2 coordinates are x,y (lon-lat); unclosed ring gets closed
+    assert parse_gml_polygon(gml2) == \
+        "POLYGON ((10 60, 12 60, 12 62, 10 62, 10 60))"
