@@ -280,3 +280,51 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
                     id_col, F.round("cos", 4).alias("cos_r4"))
             .orderBy(qid_col, "rnk"))
+
+
+def ivf_store(vectors: DataFrame, centroids: np.ndarray, path: str,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF assignment PARTITIONED BY CELL — the serving
+    layout: a query probing nprobe of nlist cells reads exactly those
+    directories (Spark partition pruning), i.e. nprobe/nlist of the
+    corpus, no matter how large the table."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ann_ivf_topk_stored(spark, path: str, centroids: np.ndarray,
+                        queries: DataFrame, k: int = 10,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        qid_col: str = "query_vec_id",
+                        nprobe: int = 4) -> DataFrame:
+    """IVF top-k over the cell-partitioned store. The probe-cell filter
+    is a partition filter — only the probed cells' files are read."""
+    assigned = spark.read.parquet(path)
+    qrows = queries.select(qid_col, vec_col).collect()
+    pairs, all_cells = [], set()
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(centroids @ qn))[:nprobe]
+        all_cells.update(int(c) for c in cells)
+        for c in cells:
+            pairs.append((r[qid_col], int(c), [float(x) for x in qv]))
+    probe = spark.createDataFrame(
+        pairs, f"{qid_col} long, cell int, qv array<double>")
+    # literal IN-list on the partition column → partition pruning at
+    # the file-listing level (visible as PartitionFilters in explain)
+    pruned = assigned.filter(F.col("cell").isin(sorted(all_cells)))
+    cands = (pruned.join(F.broadcast(probe), "cell")
+             .filter(F.col(id_col) != F.col(qid_col)))
+    scored = cands.withColumn(
+        "cos", cosine_col(F.transform(F.col(vec_col),
+                                      lambda x: x.cast("double")),
+                          F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                    id_col, F.round("cos", 4).alias("cos_r4"))
+            .orderBy(qid_col, "rnk"))

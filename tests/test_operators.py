@@ -157,3 +157,25 @@ def test_ngram_jaccard_minhash_candidates(spark, docs):
     for k, v in lsh.items():
         assert v == exact[k]
     assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_stored_partition_pruning(spark, embs, tmp_path):
+    """The cell-partitioned IVF store: probe queries read ONLY their
+    probed cells (PartitionFilters in the plan), results identical to
+    the in-memory path."""
+    from solr_indexer_spark.operators.similarity import (
+        ann_ivf_topk, ann_ivf_topk_stored, ivf_assign, ivf_store,
+        kmeans_centroids)
+    C = kmeans_centroids(embs, nlist=16)
+    path = str(tmp_path / "ivf")
+    ivf_store(embs, C, path)
+    qs = embs.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_vec_id")
+    stored = ann_ivf_topk_stored(spark, path, C, qs, k=5, nprobe=4)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:200]
+    mem = ann_ivf_topk(embs, qs, k=5, centroids=C,
+                       assigned=ivf_assign(embs, C), nprobe=4)
+    assert [tuple(r) for r in stored.collect()] == \
+        [tuple(r) for r in mem.collect()]

@@ -165,3 +165,38 @@ def test_batch_segment_append(spark, pages, tmp_path):
     expected = _hits_by_url(spark, ref_bindex,
                             ref_docs.select("doc_id", "url"), 0)
     assert streamed == expected
+
+
+def test_real_readstream_foreachbatch(spark, pages, tmp_path):
+    """End-to-end through the ACTUAL streaming machinery: pages land as
+    files, readStream(maxFilesPerTrigger=1) drives foreachBatch via
+    StreamingIndexIngest.start(); the resulting index answers like a
+    batch build."""
+    import os
+    src = str(tmp_path / "incoming")
+    half1 = pages.filter(F.crc32("url") % 2 == 0)
+    half2 = pages.filter(F.crc32("url") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    stream = (spark.readStream.schema(pages.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ing.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    st = ing._state()
+    assert st["last_batch_id"] >= 1          # ≥2 micro-batches ran
+    bindex = ing.load(spark)
+    doc_map = ing.doc_map(spark)
+    streamed = _hits_by_url(spark, bindex, doc_map, 0)
+
+    good, _ = validate(pages)
+    ref_docs = assign_doc_ids(good, id_col="url")
+    ref_bindex = build_block_index(build_index(ref_docs, id_col="doc_id"),
+                                   shard_range=128)
+    expected = _hits_by_url(spark, ref_bindex,
+                            ref_docs.select("doc_id", "url"), 0)
+    assert streamed == expected
