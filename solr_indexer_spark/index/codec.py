@@ -338,6 +338,37 @@ class BlockIndex:
             self.term_dict = {r["term"]: r for r in self.meta().collect()}
         return self.term_dict
 
+    def as_logical_index(self, terms: list | None = None):
+        """A logical InvertedIndex VIEW over the compressed blocks —
+        lets every raw-postings consumer (the boolean query-tree
+        engine, the exact scorer, doc_tfidf export) run directly on a
+        streaming-built block index, no rebuild. Postings materialize
+        lazily through the Arrow block decoder.
+
+        Catalyst can NOT push a downstream ``term`` filter through the
+        decoder (mapInPandas is opaque — verified in the plan), so the
+        bare view decodes every block it scans; pass ``terms`` to
+        pre-filter the BLOCKS table before the decode (the filter then
+        rides the blocks scan and, under the term-bucketed persisted
+        layout, prunes at row-group level) — the right shape for
+        query-time use, while the bare view suits full-scan consumers
+        (doc_tfidf, corpus exports) that read everything anyway."""
+        from .build import InvertedIndex
+        spark = self.blocks.sparkSession
+        blocks = self.blocks
+        if terms is not None:
+            blocks = blocks.filter(F.col("term").isin(sorted(terms)))
+        postings = decode_blocks_df(blocks) \
+            .withColumnRenamed("doc_id", self.id_col)
+        term_stats = self.meta().select("term", "df", "cf")
+        corpus_stats = spark.createDataFrame(
+            [(self.n_docs, float(self.avgdl))], "n_docs long, avgdl double")
+        doc_stats = postings.select(self.id_col, "dl").distinct()
+        return InvertedIndex(id_col=self.id_col, doc_stats=doc_stats,
+                             term_stats=term_stats,
+                             corpus_stats=corpus_stats,
+                             postings=postings)
+
     def meta(self) -> DataFrame:
         """Per-term stats + score bound computed with THIS index's
         current avgdl from (max_tf, min_dl) — stays a valid upper bound

@@ -122,3 +122,36 @@ def test_wand_theta_respects_tombstones(spark, docs, qdf):
     for q, rows in keyed(fast).items():
         assert rows, f"q{q} returned empty under tombstones"
         assert not ({d for _, d, _ in rows} & set(dead_ids))
+
+
+def test_block_index_as_logical_index(spark, docs):
+    """The compressed block index exposes a logical InvertedIndex view:
+    the boolean query-string engine and the exact scorer run on it
+    directly (streaming-built indexes need no rebuild) with identical
+    results; the plan pushes the term filter below the block decoder."""
+    from solr_indexer_spark.query.parser import search_lucene
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=256)
+    view = bindex.as_logical_index()
+
+    q = "(term0000 OR term0101) AND term0202"
+    a = [tuple(r) for r in search_lucene(q, docs, index, k=10).collect()]
+    b = [tuple(r) for r in search_lucene(q, docs, view, k=10).collect()]
+    assert a == b and a
+
+    qdf = spark.createDataFrame([(1, "term0000 term0101", 10)],
+                                "query_id int, query_text string, k int")
+    ea = [tuple(r) for r in topk(qdf, index).collect()]
+    eb = [tuple(r) for r in topk(qdf, view).collect()]
+    assert ea == eb
+
+    # the terms-scoped view filters the BLOCKS table BELOW the Arrow
+    # decoder (a downstream filter cannot push through mapInPandas)
+    scoped = bindex.as_logical_index(terms=["term0000"])
+    plan = scoped.postings._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert _re.search(r"MapInPandas[\s\S]*Filter[\s\S]*term0000", plan), plan
+    full = {tuple(r) for r in
+            index.postings.filter(F.col("term") == "term0000").collect()}
+    got = {tuple(r) for r in scoped.postings.collect()}
+    assert got == full
