@@ -531,6 +531,107 @@ def q_lucene_wildcard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("score", 4).alias("score_r"))
 
 
+def q_lucene_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase '"value table"~2 AND dup' (Lucene
+    SloppyPhraseQuery): positional-window match from the positional
+    index, BM25 over the positive terms."""
+    from .index.positions import positional_postings
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    pos = positional_postings(docs, id_col="doc_id")
+    hits = search_tree('"value table"~2 AND dup', docs, index, k=10,
+                       pos_postings=pos)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def q_lucene_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time boosts 'dup^3 value' (Lucene term^w): the boosted
+    term's BM25 contribution is multiplied by w."""
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_tree("dup^3 value", docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def q_lucene_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy 'part~2 AND dup' (Lucene FuzzyQuery, constant-score
+    rewrite): 'part' expands to every dictionary term within edit
+    distance 2; expanded terms gate, 'dup' scores."""
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_tree("part~2 AND dup", docs, index, k=10)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def _phrase_slop_sql() -> str:
+    # 2-term sloppy window: exists positions i of 'value', j of 'table'
+    # with |(j-1) - i| ≤ 2 (shifted-position window, = Lucene's 2-term
+    # SloppyPhraseQuery edit cost), plus the MUST 'dup'
+    return _scored_gate_sql(
+        ["value", "table", "dup"],
+        "len(list_filter(range(1, len(toks) + 1), i -> "
+        "toks[i] = 'value' AND len(list_filter(range(1, len(toks) + 1), "
+        "j -> toks[j] = 'table' AND abs((j - 1) - i) <= 2)) > 0)) > 0 "
+        "AND list_contains(toks, 'dup')")
+
+
+def _boost_sql() -> str:
+    return _weighted_gate_sql(
+        {"dup": 3.0, "value": 1.0},
+        "list_contains(toks, 'dup') OR list_contains(toks, 'value')")
+
+
+def _fuzzy_sql() -> str:
+    # expansion = dictionary terms within levenshtein ≤ 2 of 'part'
+    return _scored_gate_sql(
+        ["dup"],
+        "len(list_filter(list_distinct(toks), "
+        "x -> levenshtein(x, 'part') <= 2)) > 0 "
+        "AND list_contains(toks, 'dup')")
+
+
+def _weighted_gate_sql(weights: dict, gate_cond: str, k: int = 10) -> str:
+    """BM25 with per-term float weights (query-time boosts) restricted
+    to docs satisfying ``gate_cond``."""
+    tok = tokenize_sql("text")
+    qt_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {w} AS qw" for t, w in sorted(weights.items()))
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS ({qt_rows}),
+gated AS (SELECT doc_id FROM t WHERE {gate_cond}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(qt.qw * ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN qt USING (term) JOIN df USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+s2 AS (SELECT g.doc_id, coalesce(s.score, 0.0) AS score
+       FROM gated g LEFT JOIN scored s USING (doc_id)),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM s2
+)
+SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= {k} ORDER BY rnk
+"""
+
+
 def _wildcard_scored_sql() -> str:
     tok = tokenize_sql("text")
     return f"""
@@ -550,9 +651,13 @@ qt AS (
   ) GROUP BY term
 ),
 gated AS (
-  SELECT doc_id FROM t
-  WHERE len(list_filter(toks, x -> x LIKE 's%')) > 0
-    AND list_contains(toks, 'dup')
+  -- Lucene TOP_TERMS: the wildcard is REPLACED by its top-N expansion,
+  -- so the match set is docs containing any EXPANDED term (a doc
+  -- matching only a non-top-N 's%' term does not match)
+  SELECT DISTINCT tf.doc_id
+  FROM tf JOIN expanded e ON tf.term = e.term
+  JOIN t ON t.doc_id = tf.doc_id
+  WHERE list_contains(t.toks, 'dup')
 ),
 scored AS (
   SELECT tf.doc_id,
@@ -719,6 +824,16 @@ def q_dedup_exact_norm(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # explicit opt-in to the n² shared-shingle ORACLE mode — the
+    # recall-complete exactness reference (never the default path)
+    from .operators.dedup import dedup_ngram_jaccard
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5,
+                               candidates="shingle")
+
+
+def q_dedup_ngram_minhash(spark, sf_dir):
+    # the DEFAULT (bounded, web-scale) path: banded-MinHash candidates +
+    # exact-Jaccard verify; oracle replicates the banding bit-for-bit
     from .operators.dedup import dedup_ngram_jaccard
     return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
 
@@ -1036,6 +1151,7 @@ ORACLE_SQL_V2 = {
         ORDER BY a, b
     """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1143,6 +1259,9 @@ QUERIES = {
     "lucene_field_range": q_lucene_field_range,
     "lucene_wildcard": q_lucene_wildcard,
     "lucene_wildcard_scored": q_lucene_wildcard_scored,
+    "lucene_phrase_slop": q_lucene_phrase_slop,
+    "lucene_boost": q_lucene_boost,
+    "lucene_fuzzy": q_lucene_fuzzy,
     "raw_doc_fl": q_raw_doc_fl,
     "schema_validate": q_schema_validate,
     "wkt_segmentize": q_wkt_segmentize,
@@ -1154,6 +1273,7 @@ QUERIES = {
     "try_cast_skip": q_try_cast_skip,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_minhash": q_dedup_ngram_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1197,6 +1317,9 @@ ORACLE_SQL = {
     "lucene_field_range": _field_range_sql(),
     "lucene_wildcard": _wildcard_sql(),
     "lucene_wildcard_scored": _wildcard_scored_sql(),
+    "lucene_phrase_slop": _phrase_slop_sql(),
+    "lucene_boost": _boost_sql(),
+    "lucene_fuzzy": _fuzzy_sql(),
     "wkt_segmentize": """
         WITH b AS (
           SELECT doc_id,
@@ -1289,7 +1412,7 @@ ORACLE_SQL = {
                parts[-1] AS tail
         FROM sp ORDER BY doc_id
     """,
-    "nbs_thumbnail": """
+    "nbs_thumbnail": r"""
         WITH u AS (
           SELECT doc_id,
                  lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS dd,

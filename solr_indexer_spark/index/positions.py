@@ -37,10 +37,47 @@ def positional_postings(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
 
 
+def _sloppy_window_pred(n_terms: int, slop: int) -> F.Column:
+    """Match predicate over the joined per-term SHIFTED position arrays
+    ``_p0.._p{n-1}`` (each already offset by its phrase index).
+
+    slop=0: classic intersection (all shifted arrays share a point).
+    slop>0: spanNear-style window — the phrase matches iff some choice
+    of one shifted position per term fits in a window of width ``slop``
+    (max − min ≤ slop). For 2 terms this is exactly Lucene's
+    SloppyPhraseQuery cost |Δ| ≤ slop (a transposition costs 2);
+    for longer phrases it is the spanNear window formulation (Lucene's
+    multi-term total-movement minimization differs on exotic cases, and
+    repeated phrase terms may reuse one occurrence — documented
+    deviation). Because any achievable window minimum IS one of the
+    shifted positions, it suffices to test window starts drawn from the
+    union of the arrays: exists w ∈ ∪_i p_i such that every term has a
+    shifted position in [w, w+slop]. All array algebra is JVM-side
+    (nested higher-order functions, no UDF)."""
+    if slop == 0:
+        common = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"_p{i}")),
+                        range(1, n_terms), F.col("_p0"))
+        return F.size(common) > 0
+    ws = F.concat(*[F.col(f"_p{i}") for i in range(n_terms)])
+
+    def fits(w):
+        # 1-arg inner lambdas (a defaulted 2nd param would make Spark
+        # treat it as the 2-arg (element, index) form); w is captured
+        # from the enclosing scope, fixed per fits() call
+        conds = [F.exists(F.col(f"_p{i}"),
+                          lambda x: (x >= w) & (x <= w + F.lit(slop)))
+                 for i in range(n_terms)]
+        return reduce(lambda a, b: a & b, conds)
+
+    return F.exists(ws, fits)
+
+
 def phrase_match_positions(pos_postings: DataFrame, phrase: list[str],
-                           id_col: str = "doc_id") -> DataFrame:
-    """Doc ids containing the exact phrase, from the positional index
-    alone. Empty phrase or missing terms → empty result."""
+                           id_col: str = "doc_id",
+                           slop: int = 0) -> DataFrame:
+    """Doc ids containing the phrase (within ``slop`` — Lucene
+    ``"a b"~N``), from the positional index alone. Empty phrase or
+    missing terms → empty result."""
     spark = pos_postings.sparkSession
     if not phrase:
         return spark.createDataFrame([], f"{id_col} long")
@@ -56,9 +93,7 @@ def phrase_match_positions(pos_postings: DataFrame, phrase: list[str],
                         F.transform("positions", shift_by(i)).alias(f"_p{i}")))
         sides.append(side)
     joined = reduce(lambda a, b: a.join(b, id_col), sides)
-    common = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"_p{i}")),
-                    range(1, len(phrase)), F.col("_p0"))
-    return (joined.filter(F.size(common) > 0)
+    return (joined.filter(_sloppy_window_pred(len(phrase), slop))
             .select(id_col).orderBy(id_col))
 
 
@@ -121,7 +156,8 @@ def _decode_positions_udf(blobs: pd.Series) -> pd.Series:
 
 def phrase_match_positions_compressed(pos_comp: DataFrame,
                                       phrase: list[str],
-                                      id_col: str = "doc_id") -> DataFrame:
+                                      id_col: str = "doc_id",
+                                      slop: int = 0) -> DataFrame:
     """Same positional intersection as phrase_match_positions, reading
     the compressed table — only the phrase terms' rows are ever
     decoded (Arrow-batched)."""
@@ -140,16 +176,15 @@ def phrase_match_positions_compressed(pos_comp: DataFrame,
                                     shift_by(i)).alias(f"_p{i}")))
         sides.append(side)
     joined = reduce(lambda a, b: a.join(b, id_col), sides)
-    common = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"_p{i}")),
-                    range(1, len(phrase)), F.col("_p0"))
-    return (joined.filter(F.size(common) > 0)
+    return (joined.filter(_sloppy_window_pred(len(phrase), slop))
             .select(id_col).orderBy(id_col))
 
 
 def phrase_match(pos_postings: DataFrame, phrase: list[str],
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", slop: int = 0) -> DataFrame:
     """Dispatch on the positional table's schema: raw array<int>
     positions or codec-compressed pos_blob."""
     if "pos_blob" in pos_postings.columns:
-        return phrase_match_positions_compressed(pos_postings, phrase, id_col)
-    return phrase_match_positions(pos_postings, phrase, id_col)
+        return phrase_match_positions_compressed(pos_postings, phrase,
+                                                 id_col, slop)
+    return phrase_match_positions(pos_postings, phrase, id_col, slop)

@@ -78,17 +78,19 @@ def shingles_col(text_col, n: int = 3) -> F.Column:
 
 def dedup_ngram_jaccard(docs: DataFrame, id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        candidates: str = "shingle") -> DataFrame:
+                        candidates: str = "minhash") -> DataFrame:
     """(a, b, j) pairs with shingle-set Jaccard ≥ threshold.
 
-    ``candidates='shingle'`` (exact): candidates share ≥1 shingle —
-    recall-complete, but the shared-shingle self-join explodes on any
-    common shingle, so it is the SMALL-corpus / oracle path.
+    ``candidates='minhash'`` (DEFAULT, web scale): banded-MinHash
+    candidate generation + the same exact-Jaccard verify (recall < 1,
+    bounded shuffle — delegates to dedup_minhash_lsh, which shares the
+    output contract). The shuffle carries (band_key, id) pairs only, so
+    the plan survives a Zipf-headed shingle distribution at 100 TB.
 
-    ``candidates='minhash'`` (web scale): banded-MinHash candidate
-    generation + the same exact-Jaccard verify (recall < 1, bounded
-    shuffle — delegates to dedup_minhash_lsh, which shares the output
-    contract)."""
+    ``candidates='shingle'`` (opt-in oracle mode): candidates share ≥1
+    shingle — recall-complete, but the shared-shingle self-join is n²
+    on any corpus-common shingle, so it exists ONLY as the small-corpus
+    exactness oracle (mirrors ``embedding_dedup(method='brute')``)."""
     if candidates == "minhash":
         return dedup_minhash_lsh(docs, id_col=id_col, threshold=threshold,
                                  shingle_n=n)

@@ -66,17 +66,53 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 7):
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _code_col(vec_col, planes: np.ndarray) -> F.Column:
-    """Signed-projection bit code for one hash table (JVM-side)."""
-    code = F.lit(0)
-    for j, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec_col,
-                       F.array(*[F.lit(float(x)) for x in plane]),
-                       lambda v, p: v * p),
-            F.lit(0.0), lambda acc, v: acc + v)
-        code = code + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return code
+def lsh_codes(df: DataFrame, id_col: str, vec_col: str,
+              planes: np.ndarray, keep_vec: bool = False) -> DataFrame:
+    """(id[, vec], tbl int, code int) — every hash table's
+    signed-projection bit code per vector, one Arrow-batched numpy pass
+    per partition (the ivf_assign pattern; the per-row Catalyst
+    aggregate-lambda fold this replaces measured 3-15× slower —
+    VERDICT r2 #4).
+
+    Bit-identity contract: the projection is accumulated dim-by-dim
+    (``acc = acc + v_d * p_d`` in float64), the exact operation order
+    of the Spark zip_with/aggregate fold and of DuckDB
+    list_inner_product — so the codes (sign of the fold) are
+    bit-identical to the SQL oracle's, at any recall."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    n_tables, n_planes, dim = planes.shape
+    P = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*B)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    fields = [df.schema[id_col]]
+    if keep_vec:
+        fields.append(df.schema[vec_col])
+    schema = T.StructType(fields + [
+        T.StructField("tbl", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False)])
+
+    def codes_map(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((n, n_tables * n_planes))
+            for d in range(dim):
+                # sequential-order accumulation: bit-identical to the
+                # fold ((0 + v0*p0) + v1*p1) + ... per (row, plane)
+                acc += X[:, d:d + 1] * P[d]
+            bits = (acc > 0).reshape(n, n_tables, n_planes)
+            codes = (bits * pow2).sum(axis=2).astype("int32")  # (n, T)
+            idx = np.repeat(np.arange(n), n_tables)
+            out = {id_col: pdf[id_col].values[idx]}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col].values[idx]
+            out["tbl"] = np.tile(np.arange(n_tables, dtype="int32"), n)
+            out["code"] = codes.reshape(-1)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(codes_map, schema=schema)
 
 
 def _dim_of(vectors: DataFrame, vec_col: str, dim: int | None) -> int:
@@ -98,23 +134,13 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     planes = _hyperplanes(_dim_of(vectors, vec_col, dim),
                           n_planes, n_tables, seed)
 
-    def codes(df, idc, vc):
-        return df.select(
-            F.col(idc), F.col(vc),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("tbl"),
-                         _code_col(F.col(vc), planes[t]).alias("code"))
-                for t in range(n_tables)])).alias("bk"))
-
-    v_codes = codes(vectors, id_col, vec_col)
-    q_codes = codes(queries, qid_col, vec_col).withColumnRenamed(vec_col, "qv")
-    cands = (v_codes.join(
-        F.broadcast(q_codes),
-        (v_codes["bk.tbl"] == q_codes["bk.tbl"]) &
-        (v_codes["bk.code"] == q_codes["bk.code"]))
-        .filter(F.col(id_col) != F.col(qid_col))
-        .select(qid_col, "qv", id_col, vec_col)
-        .distinct())
+    v_codes = lsh_codes(vectors, id_col, vec_col, planes, keep_vec=True)
+    q_codes = lsh_codes(queries, qid_col, vec_col, planes, keep_vec=True) \
+        .withColumnRenamed(vec_col, "qv")
+    cands = (v_codes.join(F.broadcast(q_codes), ["tbl", "code"])
+             .filter(F.col(id_col) != F.col(qid_col))
+             .select(qid_col, "qv", id_col, vec_col)
+             .distinct())
     scored = cands.withColumn("cos", cosine_col(F.col(vec_col), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(
         F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
@@ -155,14 +181,9 @@ def embedding_dedup(vectors: DataFrame, threshold: float = 0.95,
 
     planes = _hyperplanes(_dim_of(vectors, vec_col, dim),
                           n_planes, n_tables, seed)
-    codes = vectors.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _code_col(F.col(vec_col), planes[t]).alias("code"))
-            for t in range(n_tables)])).alias("bk")) \
-        .select("id", F.col("bk.tbl").alias("tbl"),
-                F.col("bk.code").alias("code"))
+    # codes only — the self-join shuffle never carries the vectors
+    codes = lsh_codes(vectors, id_col, vec_col, planes) \
+        .withColumnRenamed(id_col, "id")
     cands = (codes.alias("x").join(
         codes.alias("y"),
         (F.col("x.tbl") == F.col("y.tbl")) &

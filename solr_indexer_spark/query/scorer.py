@@ -49,6 +49,28 @@ def score_exact(queries: DataFrame, index: InvertedIndex) -> DataFrame:
             .agg(F.sum("_s").alias("score")))
 
 
+def score_weighted(weights: list[tuple[str, float]],
+                   index: InvertedIndex) -> DataFrame:
+    """(<id>, score) — BM25 with explicit per-term float weights: the
+    qtf slot generalized to Lucene query-time boosts (term^w).
+    Duplicate terms sum their weights (identical to qtf multiplicity
+    when every weight is 1). Same broadcast-join plan as score_exact —
+    the postings table is never shuffled."""
+    agg: dict[str, float] = {}
+    for t, w in weights:
+        agg[t] = agg.get(t, 0.0) + float(w)
+    spark = index.postings.sparkSession
+    n_docs, avgdl = index.n_and_avgdl()
+    qt = spark.createDataFrame(sorted(agg.items()), "term string, qtf double")
+    qterms = (qt.join(index.term_stats.select("term", "df"), "term")
+              .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs))))
+    scored = (index.postings
+              .join(F.broadcast(qterms), "term")
+              .withColumn("_s", F.col("qtf") * F.col("idf") *
+                          tfnorm_col(F.col("tf"), F.col("dl"), F.lit(avgdl), K1, B)))
+    return scored.groupBy(index.id_col).agg(F.sum("_s").alias("score"))
+
+
 def topk(queries: DataFrame, index: InvertedIndex,
          default_k: int = 10, tombstones: DataFrame | None = None) -> DataFrame:
     """(query_id, <id>, score, rank) — reference default rows=10

@@ -107,12 +107,23 @@ class StreamingIndexIngest:
         # tombstoning its own rows)
         spark = pages.sparkSession
         doc_map_dir = os.path.join(self.base_dir, "doc_map")
+        tomb_dir = os.path.join(self.base_dir, "tombstones")
         n_superseded = 0
         if os.path.exists(doc_map_dir):
             old = (spark.read.parquet(doc_map_dir)
                    .filter(F.col("batch_id") < batch_id)
                    .join(docs.select("url"), "url", "left_semi")
                    .select("doc_id"))
+            # a url recrawled in 3+ batches must not RE-tombstone the
+            # doc_ids earlier batches already tombstoned (duplicate rows
+            # + inflated 'superseded' count): anti-join against the
+            # tombstones committed by EARLIER batches (own batch_id
+            # excluded so a crash-replay still overwrites its own rows)
+            if os.path.exists(tomb_dir):
+                prior = (spark.read.parquet(tomb_dir)
+                         .filter(F.col("batch_id") < batch_id)
+                         .select("doc_id"))
+                old = old.join(prior, "doc_id", "left_anti")
             old.write.mode("overwrite").parquet(
                 self._batch_dir("tombstones", batch_id))
             n_superseded = spark.read.parquet(

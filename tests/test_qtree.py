@@ -156,13 +156,110 @@ def test_wildcard_top_terms_scoring(spark, corpus):
     tt = search_tree("s*", docs, index, k=1000, wildcard_top_terms=2)
     cs_rows = cs.collect()
     tt_rows = tt.collect()
-    # identical matched set either way
-    assert {r["doc_id"] for r in cs_rows} == {r["doc_id"] for r in tt_rows}
-    assert all(r["score"] == 0.0 for r in cs_rows)
-    assert any(r["score"] > 0.0 for r in tt_rows)
     # expansion = 2 highest-df s-terms
     top2 = [r["term"] for r in
             index.term_stats.filter(F.col("term").like("s%"))
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(2).collect()]
     assert len(top2) == 2
+    # Lucene TopTermsScoringBooleanQueryRewrite REPLACES the wildcard
+    # with a BooleanQuery over only the top-N terms: the TOP_TERMS
+    # matched set is exactly the docs holding a top-2 term — a strict
+    # subset here (docs matching only a non-top-2 s-term drop out)
+    expected_tt = {r["doc_id"] for r in index.postings
+                   .filter(F.col("term").isin(*top2))
+                   .select("doc_id").distinct().collect()}
+    assert {r["doc_id"] for r in tt_rows} == expected_tt
+    assert expected_tt < {r["doc_id"] for r in cs_rows}
+    assert all(r["score"] == 0.0 for r in cs_rows)
+    assert all(r["score"] > 0.0 for r in tt_rows)
+
+
+# ---------------------------------------------------------------------------
+# Slop / boost / fuzzy (r3): "a b"~N, term^w, term~
+# ---------------------------------------------------------------------------
+
+def test_parse_slop_boost_fuzzy():
+    from solr_indexer_spark.query.qtree import FuzzyN
+    g = parse_tree('"big data"~3 value^2.5 part~1 exact~0 "key row"^2')
+    (m0, p), (m1, t), (m2, fz), (m3, ex), (m4, pb) = g.clauses
+    assert isinstance(p, PhraseN) and p.slop == 3 and p.boost == 1.0
+    assert isinstance(t, TermN) and t.boost == 2.5
+    assert isinstance(fz, FuzzyN) and fz.t == "part" and fz.max_edits == 1
+    # ~0 degrades to an exact term
+    assert isinstance(ex, TermN) and ex.t == "exact"
+    assert isinstance(pb, PhraseN) and pb.slop == 0 and pb.boost == 2.0
+    # bare ~ = Lucene default maxEdits 2
+    g2 = parse_tree("part~")
+    assert isinstance(g2.clauses[0][1], FuzzyN)
+    assert g2.clauses[0][1].max_edits == 2
+
+
+def test_sloppy_phrase_positions(spark):
+    """Window semantics: 2-term slop = Lucene |Δ| ≤ N, transposition
+    costs 2; identical results from raw and compressed positions."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match_positions, positional_postings,
+        positional_postings_compressed, phrase_match_positions_compressed)
+    docs = spark.createDataFrame(
+        [(0, "a b x"),        # adjacent
+         (1, "a x b"),        # one gap        Δ=1
+         (2, "a x y b"),      # two gaps       Δ=2
+         (3, "b a x"),        # transposed     Δ=2
+         (4, "a x y z b"),    # three gaps     Δ=3
+         (5, "b x a")],       # transposed+gap Δ=3
+        "doc_id long, text string")
+    pos = positional_postings(docs, id_col="doc_id")
+    posc = positional_postings_compressed(docs, id_col="doc_id")
+    expected = {0: {0}, 1: {0, 1}, 2: {0, 1, 2, 3}, 3: {0, 1, 2, 3, 4, 5}}
+    for slop, want in expected.items():
+        got = {r["doc_id"] for r in
+               phrase_match_positions(pos, ["a", "b"], slop=slop).collect()}
+        gotc = {r["doc_id"] for r in phrase_match_positions_compressed(
+            posc, ["a", "b"], slop=slop).collect()}
+        assert got == want, f"slop={slop}"
+        assert gotc == want, f"compressed slop={slop}"
+
+
+def test_sloppy_phrase_three_terms(spark):
+    """Multi-term window: all three shifted positions within width N."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match_positions, positional_postings)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a x b c"), (2, "c b a"), (3, "a x x b x c")],
+        "doc_id long, text string")
+    pos = positional_postings(docs, id_col="doc_id")
+    assert {r["doc_id"] for r in phrase_match_positions(
+        pos, ["a", "b", "c"], slop=0).collect()} == {0}
+    assert {r["doc_id"] for r in phrase_match_positions(
+        pos, ["a", "b", "c"], slop=1).collect()} == {0, 1}
+    # "c b a": shifted a=2, b=0, c=-2 → window width 4
+    assert {r["doc_id"] for r in phrase_match_positions(
+        pos, ["a", "b", "c"], slop=4).collect()} == {0, 1, 2, 3}
+
+
+def test_boost_scales_score(spark, corpus):
+    docs, index = corpus
+    plain = {r["doc_id"]: r["score"]
+             for r in search_tree("dup", docs, index, k=30).collect()}
+    boosted = {r["doc_id"]: r["score"]
+               for r in search_tree("dup^3", docs, index, k=30).collect()}
+    assert set(plain) == set(boosted)
+    for d, s in plain.items():
+        assert boosted[d] == pytest.approx(3 * s, rel=1e-9)
+
+
+def test_fuzzy_matches_expansion(spark, corpus):
+    docs, index = corpus
+    hits = search_tree("part~2", docs, index, k=10000)
+    # expansion derived independently: terms within levenshtein ≤ 2
+    exp = [r["term"] for r in index.term_stats.filter(
+        F.levenshtein(F.col("term"), F.lit("part")) <= 2).collect()]
+    assert "part" in exp and len(exp) > 1
+    want = {r["doc_id"] for r in index.postings
+            .filter(F.col("term").isin(exp)).select("doc_id")
+            .distinct().collect()}
+    got = {r["doc_id"] for r in hits.collect()}
+    assert got == want
+    # constant-score: fuzzy contributes no BM25 weight
+    assert all(r["score"] == 0.0 for r in hits.collect())

@@ -126,6 +126,35 @@ def test_cross_batch_latest_wins_tombstones(spark, pages, tmp_path):
     assert live.filter(F.col("batch_id") != 1).count() == 0
 
 
+def test_recrawl_thrice_no_duplicate_tombstones(spark, pages, tmp_path):
+    """ADVICE r2: a url recrawled in 3+ batches must not re-tombstone
+    doc_ids that earlier batches already tombstoned — the tombstone
+    table stays duplicate-free and 'superseded' counts only NEW kills."""
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    batch1 = pages.filter(F.col("text").isNotNull() &
+                          (F.trim("text") != "")).limit(20).cache()
+    ing.process_batch(batch1, 0)
+
+    def recrawl(tag, ts):
+        return (batch1
+                .withColumn("html", F.concat(
+                    F.col("html"),
+                    F.lit(f" <p>recrawl {tag}</p>").cast("binary")))
+                .withColumn("warc_ts", F.lit(ts))
+                .drop("text", "text_sha256"))
+
+    r1 = ing.process_batch(recrawl("one", "2025-01-01T00:00:00"), 1)
+    r2 = ing.process_batch(recrawl("two", "2025-02-01T00:00:00"), 2)
+    n = batch1.count()
+    # batch 1 kills batch 0's docs; batch 2 kills ONLY batch 1's —
+    # batch 0's ids are already dead and must not be re-counted
+    assert r1["superseded"] == n
+    assert r2["superseded"] == n
+    tomb = ing.tombstones(spark)
+    assert tomb.count() == tomb.distinct().count() == 2 * n
+
+
 def test_batch_segment_append(spark, pages, tmp_path):
     """NEXT r1 #4: batch-mode append adds docs to an existing index
     without rebuilding — earlier shards' block files are untouched."""
