@@ -50,7 +50,8 @@ def _parse_coords(body: str) -> list:
 def parse_wkt(wkt: str):
     """→ (kind, coords) with kind in {point, linestring, polygon};
     raises ValueError on anything else (the reference lets shapely
-    raise the same way)."""
+    raise the same way). The SIMPLE parser — MULTI*/holes go through
+    :func:`parse_wkt_any`."""
     m = _POINT_RE.match(wkt)
     if m:
         return "point", [(float(m.group(1)), float(m.group(2)))]
@@ -61,6 +62,182 @@ def parse_wkt(wkt: str):
     if m:
         return "polygon", _parse_coords(m.group(1))
     raise ValueError(f"unsupported WKT: {wkt[:40]!r}")
+
+
+# ---- general WKT (MULTI* + polygon holes) ----------------------------------
+#
+# Normalized representation (kind, data):
+#   point            (x, y)
+#   linestring       [pts]
+#   polygon          [ring0, ring1, ...]        (ring0 exterior)
+#   multipoint       [(x, y), ...]
+#   multilinestring  [[pts], ...]
+#   multipolygon     [[rings], ...]
+
+_WKT_HEAD = re.compile(r"^\s*([A-Za-z]+)\s*(\(.*\))\s*$", re.DOTALL)
+
+
+def _split_top(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _nest(s: str):
+    """'(...)' → nested lists; leaves are the innermost coord texts."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"malformed WKT body: {s[:30]!r}")
+    inner = s[1:-1].strip()
+    if "(" not in inner:
+        return inner
+    return [_nest(p) for p in _split_top(inner)]
+
+
+def parse_wkt_any(wkt: str):
+    """Parse POINT/LINESTRING/POLYGON (incl. holes) and their MULTI*
+    forms into the normalized (kind, data) shape above. Raises
+    ValueError on GEOMETRYCOLLECTION / EMPTY / malformed input."""
+    m = _WKT_HEAD.match(wkt or "")
+    if not m:
+        raise ValueError(f"unsupported WKT: {(wkt or '')[:40]!r}")
+    kind, tree = m.group(1).upper(), _nest(m.group(2))
+    if kind == "POINT":
+        (pt,) = _parse_coords(tree)
+        return "point", pt
+    if kind == "LINESTRING":
+        return "linestring", _parse_coords(tree)
+    if kind == "POLYGON":
+        rings = [tree] if isinstance(tree, str) else tree
+        return "polygon", [_parse_coords(r) for r in rings]
+    if kind == "MULTIPOINT":
+        # both spellings: MULTIPOINT (1 2, 3 4) and ((1 2), (3 4))
+        if isinstance(tree, str):
+            return "multipoint", _parse_coords(tree)
+        return "multipoint", [_parse_coords(t)[0] for t in tree]
+    if kind == "MULTILINESTRING":
+        lines = [tree] if isinstance(tree, str) else tree
+        return "multilinestring", [_parse_coords(t) for t in lines]
+    if kind == "MULTIPOLYGON":
+        polys = tree if isinstance(tree, list) else [tree]
+        out = []
+        for p in polys:
+            rings = [p] if isinstance(p, str) else p
+            out.append([_parse_coords(r) for r in rings])
+        return "multipolygon", out
+    raise ValueError(f"unsupported WKT kind: {kind}")
+
+
+def to_wkt_any(kind: str, data) -> str:
+    def ring(pts):
+        return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts) + ")"
+    if kind == "point":
+        x, y = data
+        return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if kind == "linestring":
+        return "LINESTRING " + ring(data)
+    if kind == "polygon":
+        return "POLYGON (" + ", ".join(ring(r) for r in data) + ")"
+    if kind == "multipoint":
+        pts = ", ".join(f"({_fmt(x)} {_fmt(y)})" for x, y in data)
+        return f"MULTIPOINT ({pts})"
+    if kind == "multilinestring":
+        return "MULTILINESTRING (" + ", ".join(ring(l) for l in data) + ")"
+    if kind == "multipolygon":
+        polys = ", ".join("(" + ", ".join(ring(r) for r in p) + ")"
+                          for p in data)
+        return f"MULTIPOLYGON ({polys})"
+    raise ValueError(f"unknown kind {kind}")
+
+
+def to_geojson_any(kind: str, data) -> str:
+    """Compact GeoJSON for the normalized shape (shapely.to_geojson
+    analogue, MULTI*/holes included)."""
+    def l(pts):
+        return [list(c) for c in pts]
+    if kind == "point":
+        geom = {"type": "Point", "coordinates": list(data)}
+    elif kind == "linestring":
+        geom = {"type": "LineString", "coordinates": l(data)}
+    elif kind == "polygon":
+        geom = {"type": "Polygon", "coordinates": [l(r) for r in data]}
+    elif kind == "multipoint":
+        geom = {"type": "MultiPoint", "coordinates": l(data)}
+    elif kind == "multilinestring":
+        geom = {"type": "MultiLineString",
+                "coordinates": [l(ln) for ln in data]}
+    else:
+        geom = {"type": "MultiPolygon",
+                "coordinates": [[l(r) for r in p] for p in data]}
+    return json.dumps(geom, separators=(",", ":"))
+
+
+def _ring_shoelace(pts):
+    """(signed 2A, Σ(x0+x1)·cross, Σ(y0+y1)·cross) shoelace terms."""
+    a = cx = cy = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        cross = x0 * y1 - x1 * y0
+        a += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+    return a, cx, cy
+
+
+def _polygon_terms(rings):
+    """Shoelace terms with holes subtracted regardless of ring winding
+    (GEOS treats interior rings as negative area whatever their
+    orientation)."""
+    a = cx = cy = 0.0
+    for i, r in enumerate(rings):
+        ra, rcx, rcy = _ring_shoelace(r)
+        sign = 1.0 if i == 0 else -1.0
+        if ra != 0:
+            flip = sign * (1.0 if ra > 0 else -1.0)
+            a += flip * ra
+            cx += flip * rcx
+            cy += flip * rcy
+    return a, cx, cy
+
+
+def centroid_any(kind: str, data) -> tuple:
+    """GEOS-compatible centroid of the normalized shape: area-weighted
+    for (multi)polygons (holes subtract), length-weighted for
+    (multi)linestrings, mean for multipoints."""
+    if kind == "point":
+        return data
+    if kind == "multipoint":
+        n = len(data)
+        return (sum(x for x, _ in data) / n, sum(y for _, y in data) / n)
+    if kind in ("linestring", "multilinestring"):
+        lines = [data] if kind == "linestring" else data
+        tot = cx = cy = 0.0
+        for pts in lines:
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                d = math.hypot(x1 - x0, y1 - y0)
+                tot += d
+                cx += d * (x0 + x1) / 2
+                cy += d * (y0 + y1) / 2
+        if tot == 0:
+            return lines[0][0]
+        return cx / tot, cy / tot
+    polys = [data] if kind == "polygon" else data
+    a = cx = cy = 0.0
+    for rings in polys:
+        pa, pcx, pcy = _polygon_terms(rings)
+        a += pa
+        cx += pcx
+        cy += pcy
+    if a == 0:
+        return polys[0][0][0]
+    return cx / (3 * a), cy / (3 * a)
 
 
 def _fmt(v: float) -> str:
@@ -143,37 +320,60 @@ def centroid(kind: str, coords: list) -> tuple:
 def wkt_rect_to_segmentized(wkt: str, segments: float = 3,
                             output: str = "WKT") -> str:
     """solrindexer/spatial.py:202-227 wkt_rect_to_segmetized_geom:
-    rectangles and linestrings are segmentized for accurate
-    reprojection; everything else passes through unchanged."""
-    kind, coords = parse_wkt(wkt)
-    do_seg = (kind == "linestring"
-              or (kind == "polygon" and is_axis_rect(coords)))
-    if do_seg:
-        coords = segmentize(coords, segments)
+    rectangle polygons and (multi)linestrings are segmentized for
+    accurate reprojection; everything else — MULTIPOLYGON, MULTIPOINT,
+    non-rectangle polygons, and any WKT kind this parser doesn't know —
+    passes through unchanged (the reference segmentizes only
+    LineString/MultiLineString and the rect-gated Polygon; other
+    geometries round-trip through to_wkt untouched)."""
+    try:
+        kind, data = parse_wkt_any(wkt)
+    except ValueError:
+        return wkt                        # reference pass-through
+    if kind == "linestring":
+        data = segmentize(data, segments)
+    elif kind == "multilinestring":
+        data = [segmentize(ln, segments) for ln in data]
+    elif (kind == "polygon" and len(data) == 1
+            and is_axis_rect(data[0])):
+        # axis-aligned-only rectangle gate: the reference's
+        # min-rotated-rectangle.area check also passes ROTATED
+        # rectangles; the inputs it actually receives are bbox
+        # rectangles from MMD metadata (documented deviation)
+        data = [segmentize(data[0], segments)]
     if output == "GeoJSON":
-        return to_geojson(kind, coords)
-    return to_wkt(kind, coords)
+        return to_geojson_any(kind, data)
+    return to_wkt_any(kind, data)
 
 
 def wkt_centroid(wkt: str) -> str:
     """solrindexer/spatial.py:237-241 get_center_from."""
-    kind, coords = parse_wkt(wkt)
-    x, y = centroid(kind, coords)
+    kind, data = parse_wkt_any(wkt)
+    x, y = centroid_any(kind, data)
     return f"POINT ({_fmt(x)} {_fmt(y)})"
 
 
-def validate_fix_geometry(wkt: str) -> str:
-    """solrindexer/spatial.py:243-267 buffer(0)+simplify repair.
-    DELIBERATE STUB: robust self-intersection repair requires a GEOS
-    kernel (shapely), absent from this container — the Spark-side
-    plumbing (UDF signature, pass-through of already-valid geometry)
-    is real; the repair raises so nobody mistakes it for implemented."""
-    kind, coords = parse_wkt(wkt)          # parse = the validity probe
-    if kind == "polygon" and _ring_self_intersects(coords):
-        raise NotImplementedError(
-            "buffer(0) repair needs a GEOS kernel (shapely) — "
-            "documented seam, see module docstring")
-    return to_wkt(kind, coords)
+def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
+    """solrindexer/spatial.py:243-267 validate_fix_geometry →
+    (wkt, problem). The reference tries the GEOS buffer(0)+simplify
+    trick and, WHEN THE REPAIR FAILS, logs the error and returns the
+    original WKT. No GEOS kernel exists in this container, so repair
+    always takes the reference's failure path: the original WKT comes
+    back unchanged and ``problem`` carries the explain-validity message
+    for the run_log ledger (the reference logs-and-continues; callers
+    route ``problem`` rows to the ledger via
+    :func:`route_invalid_geometries`). Valid input → (wkt, None)."""
+    kind, data = parse_wkt_any(wkt)       # parse = the validity probe
+    rings = []
+    if kind == "polygon":
+        rings = data
+    elif kind == "multipolygon":
+        rings = [r for p in data for r in p]
+    for ring in rings:
+        if _ring_self_intersects(ring):
+            return wkt, "Self-intersection (no GEOS kernel: returning " \
+                        "original geometry, reference repair-failed path)"
+    return wkt, None
 
 
 def _seg_intersect(p1, p2, p3, p4) -> bool:
@@ -206,14 +406,62 @@ def wkt_to_geojson_udf(wkt: pd.Series) -> pd.Series:
     def conv(w):
         if not w:
             return None
-        kind, coords = parse_wkt(w)
-        return to_geojson(kind, coords)
+        kind, data = parse_wkt_any(w)
+        return to_geojson_any(kind, data)
     return wkt.map(conv)
 
 
 @pandas_udf(T.StringType())
 def wkt_centroid_udf(wkt: pd.Series) -> pd.Series:
     return wkt.map(lambda w: wkt_centroid(w) if w else None)
+
+
+_VALIDATE_SCHEMA = T.StructType([
+    T.StructField("wkt", T.StringType()),
+    T.StructField("problem", T.StringType()),
+])
+
+
+@pandas_udf(_VALIDATE_SCHEMA)
+def validate_geometry_udf(wkt: pd.Series) -> pd.DataFrame:
+    """(wkt, problem) — the validate_fix_geometry seam as a struct:
+    problem is NULL for valid geometry, else the explain message (the
+    reference's logger.warning text analogue)."""
+    out_w, out_p = [], []
+    for w in wkt:
+        if not w:
+            out_w.append(None)
+            out_p.append(None)
+            continue
+        try:
+            fixed, problem = validate_fix_geometry(w)
+        except ValueError as e:
+            fixed, problem = w, f"unparseable WKT: {e}"
+        out_w.append(fixed)
+        out_p.append(problem)
+    return pd.DataFrame({"wkt": out_w, "problem": out_p})
+
+
+def route_invalid_geometries(df, wkt_col: str, id_col: str,
+                             ledger_dir: str | None = None):
+    """Reference logs-and-continues (spatial.py:243-267): every row
+    keeps flowing with its (possibly original) WKT; rows whose geometry
+    could not be validated/repaired are ALSO appended to the run_log
+    ledger with stage='geometry' when ``ledger_dir`` is given. Returns
+    the df with ``wkt_col`` replaced and a ``geom_problem`` column."""
+    from pyspark.sql import functions as F
+    checked = df.withColumn("_g", validate_geometry_udf(F.col(wkt_col))) \
+        .withColumn(wkt_col, F.col("_g.wkt")) \
+        .withColumn("geom_problem", F.col("_g.problem")) \
+        .drop("_g")
+    if ledger_dir is not None:
+        (checked.filter(F.col("geom_problem").isNotNull())
+         .select(F.col(id_col).cast("string").alias("id"),
+                 F.lit("geometry").alias("stage"),
+                 F.concat(F.lit("warning: "), F.col("geom_problem"))
+                 .alias("status"))
+         .write.mode("append").parquet(ledger_dir))
+    return checked
 
 
 # ---- GML → WKT (solrindexer/spatial.py:80-84 parse_gml_to_wkt) ------------
@@ -224,17 +472,26 @@ _GML_NS = "{http://www.opengis.net/gml}"
 _GML32_NS = "{http://www.opengis.net/gml/3.2}"
 
 
+# exact CRS-code match: 'EPSG:4326', 'urn:ogc:def:crs:EPSG::4326',
+# 'http://www.opengis.net/def/crs/EPSG/0/4326' — the code must be the
+# FINAL path segment (a substring test false-positives on any srsName
+# merely containing 4326, e.g. EPSG:43260 — VERDICT r2 ADVICE)
+_EPSG_4326 = re.compile(r"(?:^|[:/#])4326$")
+
+
 def parse_gml_polygon(gml_xml: str, srs: str | None = None) -> str:
     """Minimal pygml-free GML Polygon/LinearRing parser → WKT.
 
     Handles gml:Polygon (3.x ``posList`` and 2.x ``coordinates``) in
-    both gml and gml/3.2 namespaces. Axis order follows the srsName:
-    EPSG:4326 (and the bare 'EPSG:4326' / urn forms) is LAT LON in GML
-    — coordinates are swapped to WKT's lon-lat; CRS84 and absent srs
-    are already lon-lat (the same convention pygml applies)."""
+    both gml and gml/3.2 namespaces. Axis order follows pygml's per-CRS
+    handling: GML 3.x ``posList`` under EPSG:4326 (urn / uri / bare
+    forms, exact trailing-code match) is LAT LON and gets swapped to
+    WKT's lon-lat; GML 2.x ``<coordinates>`` content is conventionally
+    already x,y (lon-lat) REGARDLESS of srsName, so it is never
+    swapped; CRS84 and absent srs are lon-lat."""
     root = _ET.fromstring(gml_xml)
     srs = srs or root.attrib.get("srsName") or ""
-    lat_first = "4326" in srs
+    lat_first = bool(_EPSG_4326.search(srs.strip()))
 
     def findall(tag):
         return (root.findall(f".//{_GML_NS}{tag}")
@@ -244,14 +501,15 @@ def parse_gml_polygon(gml_xml: str, srs: str | None = None) -> str:
     if pos_lists:
         nums = [float(v) for v in pos_lists[0].text.split()]
         pairs = list(zip(nums[0::2], nums[1::2]))
+        if lat_first:
+            pairs = [(x, y) for y, x in pairs]
     else:
         coords = findall("coordinates")
         if not coords:
             raise ValueError("no gml:posList / gml:coordinates found")
+        # GML 2.x coordinates: x,y order by convention — no swap
         pairs = [tuple(float(v) for v in p.split(","))
                  for p in coords[0].text.split()]
-    if lat_first:
-        pairs = [(x, y) for y, x in pairs]
     if pairs[0] != pairs[-1]:
         pairs.append(pairs[0])
     return to_wkt("polygon", pairs)

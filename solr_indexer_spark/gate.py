@@ -274,6 +274,43 @@ def q_wkt_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_wkt_multi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI* geometry family (VERDICT r2 #5; reference
+    spatial.py:214-215 segmentizes MultiLineString, other MULTI* pass
+    through shapely untouched): per doc one of MULTILINESTRING /
+    MULTIPOLYGON / MULTIPOINT, run through segmentize + centroid; the
+    oracle re-derives the exact output strings and the closed-form
+    shoelace centroids from the same integer arithmetic."""
+    from .functions.geometry import wkt_centroid_udf, wkt_segmentize_udf
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 3
+    L = ((F.col("doc_id") % 4) + 1) * 3               # 3,6,9,12
+    W = (F.col("doc_id") % 5) + 1
+    H = (F.col("doc_id") % 7) + 1
+    a = F.col("doc_id") % 10
+    b = F.col("doc_id") % 6
+    s = lambda c: c.cast("string")
+    wkt = (F.when(m == 0, F.concat(F.lit("MULTILINESTRING ((0 0, 0 "),
+                                   s(L), F.lit("))")))
+           .when(m == 1, F.concat(
+               F.lit("MULTIPOLYGON (((0 0, "), s(W), F.lit(" 0, "),
+               s(W), F.lit(" "), s(H), F.lit(", 0 "), s(H),
+               F.lit(", 0 0)), ((10 10, 11 10, 11 11, 10 10)))")))
+           .otherwise(F.concat(
+               F.lit("MULTIPOINT (("), s(a), F.lit(" "), s(b),
+               F.lit("), ("), s(a + 2), F.lit(" "), s(b + 4),
+               F.lit("))"))))
+    seg = wkt_segmentize_udf(wkt)
+    c = wkt_centroid_udf(wkt)
+    cx = F.regexp_extract(c, r"POINT \(([-\d.e]+) ([-\d.e]+)\)", 1) \
+        .cast("double")
+    cy = F.regexp_extract(c, r"POINT \(([-\d.e]+) ([-\d.e]+)\)", 2) \
+        .cast("double")
+    return d.select("doc_id", seg.alias("seg"),
+                    F.round(cx, 6).alias("cx_r"),
+                    F.round(cy, 6).alias("cy_r")).orderBy("doc_id")
+
+
 SCHEMA_SPEC = {"required": ["text"], "types": {"n_chars": "int"},
                "vocab": {"lang": ["en", "no", "de", "fr"]},
                "max_len": {"source": 4}}
@@ -292,6 +329,22 @@ def q_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("schema_errors").cast("long").alias("n_errors"),
         F.try_element_at("schema_errors", F.lit(1)).alias("first_error"),
     ).orderBy("doc_id")
+
+
+def q_schema_validate_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-fast schema gate (VERDICT r2 #6; reference gate order
+    indexer.py:253-285: enforcement then ledger): docs with a blanked
+    text (synthesized fatals, doc_id % 7 == 0) are rejected and every
+    violation flows into the run_log with stage='schema'."""
+    from .schema_validate import validate_schema_split
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("text")))
+    good, run_log = validate_schema_split(
+        d, SCHEMA_SPEC, id_col="doc_id",
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return run_log.select(F.col("url").alias("id"), "stage", "severity",
+                          "message").orderBy("id", "message")
 
 
 def q_raw_doc_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,6 +1318,8 @@ QUERIES = {
     "raw_doc_fl": q_raw_doc_fl,
     "schema_validate": q_schema_validate,
     "wkt_segmentize": q_wkt_segmentize,
+    "wkt_multi_family": q_wkt_multi_family,
+    "schema_validate_ledger": q_schema_validate_ledger,
     "sentinel_split": q_sentinel_split,
     "nbs_thumbnail": q_nbs_thumbnail,
     "json_compact": q_json_compact,
@@ -1320,6 +1375,62 @@ ORACLE_SQL = {
     "lucene_phrase_slop": _phrase_slop_sql(),
     "lucene_boost": _boost_sql(),
     "lucene_fuzzy": _fuzzy_sql(),
+    "schema_validate_ledger": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text,
+                 lang, source FROM documents
+        )
+        SELECT doc_id::VARCHAR AS id, 'schema' AS stage,
+               'failure' AS severity, 'text:required' AS message
+        FROM d WHERE text IS NULL OR trim(text) = ''
+        UNION ALL
+        SELECT doc_id::VARCHAR, 'schema', 'warning', 'lang:vocab'
+        FROM d WHERE lang IS NOT NULL
+          AND lang NOT IN ('en', 'no', 'de', 'fr')
+        UNION ALL
+        SELECT doc_id::VARCHAR, 'schema', 'warning', 'source:max_len:4'
+        FROM d WHERE source IS NOT NULL AND length(source) > 4
+        ORDER BY id, message
+    """,
+    "wkt_multi_family": """
+        WITH p AS (
+          SELECT doc_id, doc_id % 3 AS m,
+                 ((doc_id % 4) + 1) * 3 AS L,
+                 (doc_id % 5) + 1 AS W,
+                 (doc_id % 7) + 1 AS H,
+                 doc_id % 10 AS a,
+                 doc_id % 6 AS b
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id,
+            CASE
+              WHEN m = 0 THEN 'MULTILINESTRING ((0 0' ||
+                array_to_string(list_transform(range(1, (L // 3) + 1),
+                  i -> ', 0 ' || (3 * i)::VARCHAR), '') || '))'
+              WHEN m = 1 THEN 'MULTIPOLYGON (((0 0, ' || W::VARCHAR ||
+                ' 0, ' || W::VARCHAR || ' ' || H::VARCHAR || ', 0 ' ||
+                H::VARCHAR ||
+                ', 0 0)), ((10 10, 11 10, 11 11, 10 10)))'
+              ELSE 'MULTIPOINT ((' || a::VARCHAR || ' ' || b::VARCHAR ||
+                '), (' || (a + 2)::VARCHAR || ' ' || (b + 4)::VARCHAR ||
+                '))'
+            END AS seg,
+            -- closed-form shoelace centroids from the same integers
+            CASE WHEN m = 0 THEN 0.0
+                 WHEN m = 1 THEN (3.0 * W * W * H + 32)
+                                 / (3.0 * (2 * W * H + 1))
+                 ELSE (a + 1)::DOUBLE END AS cx,
+            CASE WHEN m = 0 THEN L / 2.0
+                 WHEN m = 1 THEN (3.0 * W * H * H + 31)
+                                 / (3.0 * (2 * W * H + 1))
+                 ELSE (b + 2)::DOUBLE END AS cy
+          FROM p
+        )
+        SELECT doc_id, seg, round(cx, 6) AS cx_r, round(cy, 6) AS cy_r
+        FROM o ORDER BY doc_id
+    """,
     "wkt_segmentize": """
         WITH b AS (
           SELECT doc_id,

@@ -118,6 +118,35 @@ def validate_schema(pages: DataFrame, spec: dict,
     return pages.select(*cols).mapInPandas(run, schema=out_schema)
 
 
+def validate_schema_split(pages: DataFrame, spec: dict, id_col: str,
+                          columns: list[str] | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Fail-fast mode (VERDICT r2 #6): enforcement-then-ledger, the
+    reference's gate order (solrindexer/indexer.py:253-285 — schema
+    failures REJECT the document and are recorded before anything is
+    indexed). Returns (good, run_log):
+
+      * good    — rows with no fatal violation (warnings kept), the
+        data columns only;
+      * run_log — one row per violation, schema-compatible with
+        extract.validate's ledger (url, stage, severity, message;
+        stage='schema', url = the id cast to string), so
+        failure_analytics() and exit_code() work on the union.
+    """
+    from pyspark.sql import functions as F
+    cols = columns or [id_col] + _referenced_fields(spec)
+    out = validate_schema(pages, spec, columns=cols)
+    tags = out.select(F.col(id_col), F.explode("schema_errors").alias("t"))
+    run_log = tags.select(
+        F.col(id_col).cast("string").alias("url"),
+        F.lit("schema").alias("stage"),
+        F.split(F.col("t"), ":", 2).getItem(0).alias("severity"),
+        F.split(F.col("t"), ":", 2).getItem(1).alias("message"))
+    good = out.filter(F.col("schema_ok")) \
+        .drop("schema_ok", "schema_errors")
+    return good, run_log
+
+
 def _referenced_fields(spec: dict) -> list[str]:
     fields = list(spec.get("required", []))
     for key in ("types", "vocab", "max_len"):

@@ -128,3 +128,38 @@ def test_schema_validate_compiled_cache_and_rules(spark):
     compile_schema(sj)
     after = compile_count()
     assert after <= before + 1
+
+
+def test_schema_validate_split_fail_fast(spark):
+    """VERDICT r2 #6: fail-fast mode rejects fatal rows and routes
+    every violation into an extract.validate-compatible run_log
+    (enforcement-then-ledger, reference indexer.py:253-285)."""
+    from solr_indexer_spark.extract import exit_code, failure_analytics
+    from solr_indexer_spark.schema_validate import validate_schema_split
+    spec = {"required": ["text"], "vocab": {"lang": ["en", "de"]},
+            "max_len": {"source": 4}, "types": {"n_chars": "int"}}
+    rows = [
+        (1, "good text", "en", "src1", 10),
+        (2, None, "en", "src1", 10),          # fatal
+        (3, "  ", "de", "src1", 10),          # fatal
+        (4, "ok", "zh", "verylongsrc", 10),   # warnings only -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    good, run_log = validate_schema_split(
+        df, spec, id_col="doc_id",
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    assert {r["doc_id"] for r in good.collect()} == {1, 4}
+    led = run_log.collect()
+    assert all(r["stage"] == "schema" for r in led)
+    fatals = {r["url"] for r in led if r["severity"] == "failure"}
+    assert fatals == {"2", "3"}
+    warns = sorted((r["url"], r["message"])
+                   for r in led if r["severity"] == "warning")
+    assert warns == [("4", "lang:vocab"), ("4", "source:max_len:4")]
+    # composes with the extract-side ledger machinery
+    fa = {(r["stage"], r["severity"]): r["n_records"]
+          for r in failure_analytics(
+              run_log.withColumnRenamed("url", "url")).collect()}
+    assert fa[("schema", "failure")] == 2 and fa[("schema", "warning")] == 2
+    assert exit_code(run_log) == 1

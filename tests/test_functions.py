@@ -200,10 +200,120 @@ def test_geometry_segmentize_centroid_geojson():
     assert to_geojson("point", [(1.5, -2.0)]) == \
         '{"type":"Point","coordinates":[1.5,-2.0]}'
 
-    # valid geometry passes through the repair seam; bowtie raises
-    assert validate_fix_geometry(rect) == "POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))"
-    with _pytest.raises(NotImplementedError):
-        validate_fix_geometry("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    # valid geometry passes through the repair seam cleanly; a bowtie
+    # takes the reference's repair-failed path: original WKT returned
+    # unchanged + a problem message for the ledger (never an exception)
+    assert validate_fix_geometry(rect) == \
+        ("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))", None)
+    bow = "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"
+    fixed, problem = validate_fix_geometry(bow)
+    assert fixed == bow and "Self-intersection" in problem
+
+
+def test_geometry_multi_kinds():
+    """MULTI* WKT (VERDICT r2 #5): parse/serialize round-trip,
+    MultiLineString segmentizes (reference spatial.py:214-215),
+    MultiPolygon/MultiPoint pass through, GEOS-compatible centroids,
+    holes subtract."""
+    import json
+    from solr_indexer_spark.functions.geometry import (
+        centroid_any, parse_wkt_any, to_geojson_any, to_wkt_any,
+        wkt_centroid, wkt_rect_to_segmentized)
+
+    mls = "MULTILINESTRING ((0 0, 9 0), (0 5, 0 8))"
+    kind, data = parse_wkt_any(mls)
+    assert kind == "multilinestring" and len(data) == 2
+    assert to_wkt_any(kind, data) == mls
+    # long edge splits, short edge untouched
+    assert wkt_rect_to_segmentized(mls) == \
+        "MULTILINESTRING ((0 0, 3 0, 6 0, 9 0), (0 5, 0 8))"
+
+    mp = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 12 10, 12 12, 10 10)))"
+    assert wkt_rect_to_segmentized(mp) == mp          # pass-through
+    kind, data = parse_wkt_any(mp)
+    assert kind == "multipolygon" and len(data) == 2
+    gj = json.loads(to_geojson_any(kind, data))
+    assert gj["type"] == "MultiPolygon" and len(gj["coordinates"]) == 2
+
+    mpt = "MULTIPOINT ((1 2), (3 4))"
+    assert wkt_rect_to_segmentized(mpt) == mpt
+    assert wkt_centroid(mpt) == "POINT (2 3)"
+    # bare-coordinates MULTIPOINT spelling parses too
+    assert parse_wkt_any("MULTIPOINT (1 2, 3 4)")[1] == \
+        [(1.0, 2.0), (3.0, 4.0)]
+
+    # unknown kinds pass through wkt_rect_to_segmentized unchanged
+    gc = "GEOMETRYCOLLECTION (POINT (1 1))"
+    assert wkt_rect_to_segmentized(gc) == gc
+
+    # polygon with a hole: centroid subtracts the hole area
+    holed = ("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+             "(0 0, 4 0, 4 4, 0 4, 0 0))")
+    kind, data = parse_wkt_any(holed)
+    assert len(data) == 2
+    cx, cy = centroid_any(kind, data)
+    # 8x8 square at (4,4) minus 4x4 square at (2,2):
+    # (64*4 - 16*2)/48, same for y
+    import pytest
+    assert cx == pytest.approx(14 / 3) and cy == pytest.approx(14 / 3)
+    # multipolygon centroid is area-weighted over components
+    kind, data = parse_wkt_any(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "((10 0, 14 0, 14 4, 10 4, 10 0)))")
+    cx, cy = centroid_any(kind, data)
+    assert (round(cx, 9), round(cy, 9)) == ((4 * 1 + 16 * 12) / 20, (4 * 1 + 16 * 2) / 20)
+
+
+def test_geometry_ledger_routing(spark, tmp_path):
+    """Invalid geometries log-and-continue (reference
+    spatial.py:243-267): rows keep flowing, failures land in the
+    run_log ledger with stage='geometry'."""
+    from solr_indexer_spark.functions.geometry import route_invalid_geometries
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+         (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"),
+         (3, "NOT A GEOMETRY")],
+        "doc_id long, wkt string")
+    ledger = str(tmp_path / "run_log")
+    out = route_invalid_geometries(df, "wkt", "doc_id", ledger_dir=ledger)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 3                      # every row kept flowing
+    assert rows[1]["geom_problem"] is None
+    assert "Self-intersection" in rows[2]["geom_problem"]
+    assert "unparseable" in rows[3]["geom_problem"]
+    # originals unchanged (reference repair-failed path)
+    assert rows[2]["wkt"] == "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"
+    led = spark.read.parquet(ledger)
+    assert led.filter("stage = 'geometry'").count() == 2
+
+
+def test_gml_axis_order_edge_cases():
+    """ADVICE r2: srsName matching is exact-code (no '4326' substring
+    false positives) and GML 2.x <coordinates> never swaps."""
+    from solr_indexer_spark.functions.geometry import parse_gml_polygon
+    # EPSG:43260 must NOT trigger the lat-lon swap
+    gml = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+           'srsName="EPSG:43260"><gml:exterior>'
+           '<gml:LinearRing><gml:posList>10 60 12 60 12 62 10 60'
+           '</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>')
+    assert parse_gml_polygon(gml) == \
+        "POLYGON ((10 60, 12 60, 12 62, 10 60))"
+    # uri form of 4326 DOES trigger it
+    gml2 = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+            'srsName="http://www.opengis.net/def/crs/EPSG/0/4326">'
+            '<gml:exterior><gml:LinearRing><gml:posList>'
+            '60 10 60 12 62 12 60 10'
+            '</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>')
+    assert parse_gml_polygon(gml2) == \
+        "POLYGON ((10 60, 12 60, 12 62, 10 60))"
+    # GML 2.x coordinates stay x,y even under a 4326 srsName
+    gml3 = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+            'srsName="urn:ogc:def:crs:EPSG::4326">'
+            '<gml:outerBoundaryIs><gml:LinearRing>'
+            '<gml:coordinates>10,60 12,60 12,62 10,62</gml:coordinates>'
+            '</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>')
+    assert parse_gml_polygon(gml3) == \
+        "POLYGON ((10 60, 12 60, 12 62, 10 62, 10 60))"
 
 
 def test_geometry_udfs(spark):
