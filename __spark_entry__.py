@@ -36,4 +36,4 @@ def oracle_sql() -> dict[str, str]:
 # queries() entries deliberately WITHOUT an oracle (non-SQL-expressible:
 # iterative k-means training) — the driver records a rows-only check;
 # recall-vs-brute is asserted in tests/test_operators.py instead.
-NO_ORACLE_OK = frozenset({"ann_ivf_topk"})
+NO_ORACLE_OK = frozenset({"ann_ivf_topk", "ann_ivf_pq_topk"})

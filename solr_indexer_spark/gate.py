@@ -947,6 +947,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(vecs, qs, k=10, nlist=16, nprobe=6)
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVFPQ ANN (PQ-coded residuals + ADC scan + exact refine). No
+    SQL oracle: k-means/PQ training is iterative — rows-only check;
+    recall-vs-brute + compression asserted in tests/test_operators.py."""
+    import tempfile
+    from .operators.similarity import (ann_ivf_pq_topk, ivf_pq_store,
+                                       kmeans_centroids, pq_train)
+    vecs = _embs(spark, sf_dir)
+    C = kmeans_centroids(vecs, nlist=16)
+    books = pq_train(vecs, C, m=8)
+    path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/store"
+    ivf_pq_store(vecs, C, books, path)
+    qs = vecs.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)) \
+        .withColumnRenamed("vec_id", "query_vec_id")
+    return ann_ivf_pq_topk(spark, path, C, books, qs, k=10,
+                           nprobe=16, refine=4, vectors=vecs)
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Sparse tf-idf document vectors (training-data export)."""
     from .index.build import doc_tfidf
@@ -1333,6 +1351,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "doc_tfidf": q_doc_tfidf,
     "embedding_dedup": q_embedding_dedup,
     "lang_id": q_lang_id,

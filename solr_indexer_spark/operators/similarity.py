@@ -313,6 +313,180 @@ def ivf_store(vectors: DataFrame, centroids: np.ndarray, path: str,
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def pq_train(vectors: DataFrame, centroids: np.ndarray,
+             m: int = 8, nbits: int = 8, iters: int = 10, seed: int = 11,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 4096) -> np.ndarray:
+    """Product-quantization codebooks over IVF RESIDUALS (the FAISS
+    IVFPQ shape): unit-normalize, subtract the assigned coarse
+    centroid, split the residual into ``m`` subvectors, k-means each
+    subspace to 2^nbits entries. Returns (m, 2^nbits, dim/m) float64.
+
+    Driver-side numpy over a bounded deterministic sample — the same
+    train-small/apply-distributed split as kmeans_centroids."""
+    rows = (vectors.orderBy(id_col).limit(sample_size)
+            .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(X @ centroids.T, axis=1)
+    R = X - centroids[cells]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, ksub = dim // m, 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = R[:, j * dsub:(j + 1) * dsub]
+        k_eff = min(ksub, len(S))
+        C = S[rng.choice(len(S), size=k_eff, replace=False)].copy()
+        if k_eff < ksub:                    # tiny sample: pad by repeat
+            C = np.vstack([C, C[rng.integers(0, k_eff, ksub - k_eff)]])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def ivf_pq_store(vectors: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, path: str,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+    """Materialize (id, codes binary[m bytes], cell) PARTITIONED BY
+    CELL — m bytes per vector instead of 4·dim, for memory-bound
+    corpora; probes still prune to nprobe/nlist of the files. Encoding
+    is one Arrow-batched numpy pass (nearest codebook entry per
+    residual subvector)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    C, books = centroids, codebooks
+    m, ksub, dsub = books.shape
+    schema = T.StructType([
+        vectors.schema[id_col],
+        T.StructField("codes", T.BinaryType(), False),
+        T.StructField("cell", T.IntegerType(), False)])
+
+    def encode(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+            cells = np.argmax(X @ C.T, axis=1)
+            R = X - C[cells]
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                S = R[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "codes": [c.tobytes() for c in codes],
+                "cell": cells.astype("int32")})
+
+    (vectors.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ann_ivf_pq_topk(spark, path: str, centroids: np.ndarray,
+                    codebooks: np.ndarray, queries: DataFrame,
+                    k: int = 10, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_vec_id",
+                    refine: int = 0,
+                    vectors: DataFrame | None = None) -> DataFrame:
+    """IVFPQ top-k by asymmetric distance (ADC): per query, a (m, 2^b)
+    lookup table of q·codebook dot products is built once on the
+    driver; each probed cell's codes score as
+    q·centroid(cell) + Σⱼ LUT[j][codeⱼ] — one uint8 gather per
+    subspace, no float vectors read at all.
+
+    ``refine`` > 0 turns on the candidates→verify shape used
+    everywhere else in this repo: the top refine·k ADC candidates per
+    query are re-ranked by exact cosine against ``vectors`` (join on
+    id touches candidates only), recovering near-brute recall while
+    the SCAN stays PQ-compressed."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    C, books = centroids, codebooks
+    m, ksub, dsub = books.shape
+    store = spark.read.parquet(path)
+
+    qrows = queries.select(qid_col, vec_col).collect()
+    luts, bases, probes = {}, {}, {}
+    all_cells = set()
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        lut = np.empty((m, ksub))
+        for j in range(m):
+            lut[j] = books[j] @ qn[j * dsub:(j + 1) * dsub]
+        qid = int(r[qid_col])
+        luts[qid] = lut
+        bases[qid] = C @ qn                    # per-cell q·centroid
+        cells = np.argsort(-(C @ qn))[:nprobe]
+        probes[qid] = set(int(c) for c in cells)
+        all_cells.update(probes[qid])
+
+    pruned = store.filter(F.col("cell").isin(sorted(all_cells)))
+    out_schema = T.StructType([
+        T.StructField(qid_col, T.LongType(), False),
+        store.schema[id_col],
+        T.StructField("adc", T.DoubleType(), False)])
+
+    def score(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8).reshape(n, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].values
+            for qid, lut in luts.items():
+                mask = np.isin(cells, list(probes[qid]))
+                if not mask.any():
+                    continue
+                cc = codes[mask]
+                s = bases[qid][cells[mask]]
+                for j in range(m):
+                    s = s + lut[j][cc[:, j]]
+                yield pd.DataFrame({qid_col: np.full(mask.sum(), qid),
+                                    id_col: ids[mask], "adc": s})
+
+    scored = pruned.mapInPandas(score, schema=out_schema) \
+        .filter(F.col(id_col) != F.col(qid_col))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc())
+    if not refine:
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                        id_col, F.round("adc", 4).alias("adc_r4"))
+                .orderBy(qid_col, "rnk"))
+    cands = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= k * refine)
+             .select(qid_col, id_col))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    exact = (cands.join(vectors.select(id_col, vec_col), id_col)
+             .join(F.broadcast(q), qid_col)
+             .withColumn("cos", cosine_col(F.col(vec_col), F.col("qv"))))
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col(id_col).asc())
+    return (exact.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, F.col("rnk").cast("long").alias("rnk"),
+                    id_col, F.round("cos", 4).alias("cos_r4"))
+            .orderBy(qid_col, "rnk"))
+
+
 def ann_ivf_topk_stored(spark, path: str, centroids: np.ndarray,
                         queries: DataFrame, k: int = 10,
                         id_col: str = "vec_id",

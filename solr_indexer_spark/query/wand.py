@@ -64,6 +64,13 @@ _PARTIAL_SCHEMA = T.StructType([
     T.StructField("s", T.DoubleType(), False),
 ])
 
+# champion pass variant: carries (tf, dl) so the θ carry-over cache can
+# re-derive valid bounds under FUTURE corpus stats (see ThetaCache)
+_PARTIAL_TFDL_SCHEMA = T.StructType(list(_PARTIAL_SCHEMA) + [
+    T.StructField("tf", T.LongType(), False),
+    T.StructField("dl", T.LongType(), False),
+])
+
 _OUT_SCHEMA = "query_id int, doc_id long, score double, rank int"
 
 
@@ -89,11 +96,99 @@ def _score_blocks_map(it):
             })
 
 
+def _score_blocks_tfdl_map(it):
+    """Champion-pass decode: like _score_blocks_map but also emits the
+    raw (tf, dl) per posting, so top-k champion partials can be
+    persisted and revalidated under future stats."""
+    from .. import B, K1
+    for pdf in it:
+        qids, docs_out, s_out, tf_out, dl_out = [], [], [], [], []
+        avgdls = pdf["avgdl"].to_numpy()
+        ws = pdf["w"].to_numpy()
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            d, tf, dl = decode_posting_block(row.docs, row.tfs, row.dls)
+            tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / avgdls[i]))
+            qids.append(np.full(d.size, row.query_id, dtype=np.int32))
+            docs_out.append(d)
+            s_out.append(ws[i] * tfnorm)
+            tf_out.append(tf.astype(np.int64))
+            dl_out.append(dl.astype(np.int64))
+        if qids:
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids),
+                "doc_id": np.concatenate(docs_out),
+                "s": np.concatenate(s_out),
+                "tf": np.concatenate(tf_out),
+                "dl": np.concatenate(dl_out),
+            })
+
+
+class ThetaCache:
+    """Multi-segment θ carry-over (NEXT r2 #7 / VERDICT r2 #7).
+
+    Persists, per query id, the champion term and the (tf, dl) pairs of
+    its top-k champion partials from a previous run. On a later query
+    against a GROWN index (streaming appends), the k-th best carried
+    partial — recomputed under the CURRENT (n_docs, avgdl, df) with
+    plain driver arithmetic off the pinned term dict — is still a valid
+    θ₀: those k documents each score at least their own champion
+    partial under the current stats, so the true k-th final score is at
+    least the k-th recomputed partial. That soundness argument is why
+    (tf, dl) is persisted instead of raw scores — raw previous-batch
+    scores are NOT valid bounds once idf/avgdl drift.
+
+    The carry skips pass A entirely (one fewer Spark job and zero
+    champion-block decodes); pass B prunes with the carried θ. Carry is
+    ignored when tombstones are supplied (a tombstoned carried doc
+    would invalidate the bound) and when the carried term left the
+    query."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict:
+        import json
+        import os
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            raw = json.load(f)
+        return {int(qid): {"term": e["term"],
+                           "pairs": [tuple(p) for p in e["pairs"]]}
+                for qid, e in raw.items()}
+
+    def save(self, carry: dict) -> None:
+        import json
+        import os
+        import tempfile
+        merged = self.load()
+        merged.update(carry)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(self.path)))
+        with os.fdopen(fd, "w") as f:
+            json.dump({str(q): e for q, e in merged.items()}, f)
+        os.replace(tmp, self.path)
+
+
 def _rank_and_limit(scored: DataFrame, k_map: dict,
                     tombstones: DataFrame | None) -> DataFrame:
     if tombstones is not None:
         # deleted-docs bitmap semantics: excluded before ranking
         scored = scored.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
+             F.col("doc_id").asc()]
+    if len(k_map) == 1:
+        # single-query latency path (NEXT r2 #1): orderBy+limit compiles
+        # to TakeOrderedAndProject — per-partition bounded heap merged
+        # ON THE DRIVER, no exchange after the decode; the rank window
+        # then runs over only k rows. The multi-query window path below
+        # would shuffle every partial to rank them
+        (qid, k), = k_map.items()
+        top = scored.orderBy(*order).limit(k)
+        w1 = Window.orderBy(*order)
+        return (top.withColumn("rank", F.row_number().over(w1))
+                .select("query_id", "doc_id", "score", "rank")
+                .orderBy("rank"))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col("doc_id").asc())
     k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
@@ -117,9 +212,19 @@ THETA_MIN_POSTINGS = 200_000
 def topk_wand(queries: DataFrame, bindex: BlockIndex,
               default_k: int = 10,
               tombstones: DataFrame | None = None,
-              theta_min_postings: int = THETA_MIN_POSTINGS) -> DataFrame:
+              theta_min_postings: int = THETA_MIN_POSTINGS,
+              theta_carry: dict | None = None,
+              carry_out: dict | None = None,
+              debug_block_counts: dict | None = None) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exact
-    scorer (and the oracle), reading only surviving blocks."""
+    scorer (and the oracle), reading only surviving blocks.
+
+    ``theta_carry``: {query_id: {"term", "pairs": [(tf, dl), ...]}}
+    from :class:`ThetaCache` — seeds θ₀ by driver arithmetic and skips
+    pass A for those queries (ignored when tombstones are given).
+    ``carry_out``: pass a dict to receive the refreshed carry entries.
+    ``debug_block_counts``: test hook — pass a dict to receive decoded
+    block counts per pass (costs extra count() jobs)."""
     spark = queries.sparkSession
 
     # ---- driver-side planning (no Spark jobs) --------------------------
@@ -186,6 +291,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                         for t, wt in w.items()])
         blk = (bindex.blocks.join(F.broadcast(qt), "term")
                .withColumn("avgdl", F.lit(avgdl)))
+        if debug_block_counts is not None:
+            debug_block_counts["unpruned_blocks"] = blk.count()
         partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
         if not small_multi:
@@ -200,24 +307,69 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
 
     # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
     if multi:
-        champ_qt = qterms_df([(qid, champ, w[champ])
-                              for qid, _, w, champ, _, _ in multi])
-        cblk = (bindex.blocks.join(F.broadcast(champ_qt), "term")
-                .withColumn("avgdl", F.lit(avgdl)))
-        cpart = cblk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
-            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-        if tombstones is not None:
-            # θ must be seeded over SURVIVING docs only: a tombstoned doc
-            # in the champion's top-k would push θ above the true k-th
-            # surviving score and prune blocks that hold true answers
-            cpart = cpart.join(F.broadcast(tombstones), "doc_id", "left_anti")
-        wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
-        k_expr = F.coalesce(*([F.when(F.col("query_id") == qid, F.lit(k))
-                               for qid, k in k_map.items()] + [F.lit(10)]))
-        theta_rows = (cpart.withColumn("_r", F.row_number().over(wk))
-                      .filter(F.col("_r") == k_expr)
-                      .select("query_id", "s").collect())
-        theta = {r["query_id"]: r["s"] for r in theta_rows}
+        from .. import B as _B, K1 as _K1
+        theta = {}
+
+        # θ carry-over: queries with a valid ThetaCache entry seed θ₀
+        # by pure driver arithmetic (k-th best carried champion partial
+        # RECOMPUTED under current stats — valid lower bound, see
+        # ThetaCache) and skip pass A entirely
+        carried_qids = set()
+        if theta_carry and tombstones is None:
+            for qid, k, w, champ, total_ub, t_ub in multi:
+                e = theta_carry.get(qid)
+                if not e or e["term"] not in w or len(e["pairs"]) < k:
+                    continue
+                wt = w[e["term"]]
+                parts = sorted(
+                    (wt * tf / (tf + _K1 * (1.0 - _B + _B * dl / avgdl))
+                     for tf, dl in e["pairs"]), reverse=True)
+                theta[qid] = parts[k - 1]
+                carried_qids.add(qid)
+                if carry_out is not None:
+                    carry_out[qid] = e          # still valid next time
+
+        fresh = [p for p in multi if p[0] not in carried_qids]
+        if fresh:
+            champ_qt = qterms_df([(qid, champ, w[champ])
+                                  for qid, _, w, champ, _, _ in fresh])
+            cblk = (bindex.blocks.join(F.broadcast(champ_qt), "term")
+                    .withColumn("avgdl", F.lit(avgdl)))
+            if debug_block_counts is not None:
+                debug_block_counts["passA_blocks"] = cblk.count()
+            cpart = cblk.select("query_id", "w", "docs", "tfs", "dls",
+                                "avgdl") \
+                .mapInPandas(_score_blocks_tfdl_map,
+                             schema=_PARTIAL_TFDL_SCHEMA)
+            if tombstones is not None:
+                # θ must be seeded over SURVIVING docs only: a
+                # tombstoned doc in the champion's top-k would push θ
+                # above the true k-th surviving score and prune blocks
+                # that hold true answers
+                cpart = cpart.join(F.broadcast(tombstones), "doc_id",
+                                   "left_anti")
+            wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
+            k_expr = F.coalesce(*([F.when(F.col("query_id") == qid,
+                                          F.lit(k))
+                                   for qid, k in k_map.items()]
+                                  + [F.lit(10)]))
+            theta_rows = (cpart.withColumn("_r", F.row_number().over(wk))
+                          .filter(F.col("_r") <= k_expr)
+                          .select("query_id", "s", "tf", "dl", "_r")
+                          .collect())
+            champ_by_qid = {qid: champ for qid, _, _, champ, _, _ in fresh}
+            for r in theta_rows:
+                if r["_r"] == k_map[r["query_id"]]:
+                    theta[r["query_id"]] = r["s"]
+            if carry_out is not None:
+                pairs: dict = {}
+                for r in theta_rows:
+                    pairs.setdefault(r["query_id"], []).append(
+                        (int(r["tf"]), int(r["dl"])))
+                for qid, ps in pairs.items():
+                    if len(ps) >= k_map[qid]:
+                        carry_out[qid] = {"term": champ_by_qid[qid],
+                                          "pairs": ps}
 
         # block-level union bound, computed with literal per-(query,term)
         # slack = θ₀ - Σ_{t'≠t} t_ub(t'): block survives iff
@@ -249,6 +401,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .filter(F.col("slack").isNull() |
                        (F.col("w") * block_bound >= F.col("slack")))
                .withColumn("avgdl", F.lit(avgdl)))
+        if debug_block_counts is not None:
+            debug_block_counts["passB_blocks"] = blk.count()
         partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
         scored = partials.groupBy("query_id", "doc_id") \

@@ -179,3 +179,45 @@ def test_ivf_stored_partition_pruning(spark, embs, tmp_path):
                        assigned=ivf_assign(embs, C), nprobe=4)
     assert [tuple(r) for r in stored.collect()] == \
         [tuple(r) for r in mem.collect()]
+
+
+def test_ivf_pq_recall_and_compression(spark, embs, tmp_path):
+    """IVFPQ (VERDICT r2 #10): PQ-coded cells + ADC scan +
+    candidates→verify exact re-rank. Full probe + refine recovers
+    brute recall; the PQ store is an order of magnitude smaller than
+    the float store."""
+    import os
+    from solr_indexer_spark.operators.similarity import (
+        ann_ivf_pq_topk, ivf_pq_store, ivf_store, kmeans_centroids,
+        pq_train)
+    C = kmeans_centroids(embs, nlist=16)
+    books = pq_train(embs, C, m=8)
+    assert books.shape == (8, 256, 8)
+    pq_path = str(tmp_path / "pq")
+    flat_path = str(tmp_path / "flat")
+    ivf_pq_store(embs, C, books, pq_path)
+    ivf_store(embs, C, flat_path)
+
+    def tree_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _d, fs in os.walk(p) for f in fs)
+
+    assert tree_bytes(pq_path) * 5 < tree_bytes(flat_path)
+
+    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_vec_id")
+    brute = {(r["query_vec_id"], r["vec_id"])
+             for r in ann_brute_topk(embs, qs, k=10).collect()}
+    full = ann_ivf_pq_topk(spark, pq_path, C, books, qs, k=10,
+                           nprobe=16, refine=4, vectors=embs)
+    fset = {(r["query_vec_id"], r["vec_id"]) for r in full.collect()}
+    assert len(fset & brute) / len(brute) >= 0.9
+    # pruned probe: bounded scan, recall floor holds
+    pruned = ann_ivf_pq_topk(spark, pq_path, C, books, qs, k=10,
+                             nprobe=4, refine=4, vectors=embs)
+    pset = {(r["query_vec_id"], r["vec_id"]) for r in pruned.collect()}
+    assert len(pset & brute) / len(brute) >= 0.5
+    # ADC-only path returns k rows per query without touching vectors
+    adc = ann_ivf_pq_topk(spark, pq_path, C, books, qs, k=10, nprobe=16)
+    assert adc.groupBy("query_vec_id").count() \
+        .filter(F.col("count") != 10).count() == 0

@@ -229,3 +229,50 @@ def test_real_readstream_foreachbatch(spark, pages, tmp_path):
     expected = _hits_by_url(spark, ref_bindex,
                             ref_docs.select("doc_id", "url"), 0)
     assert streamed == expected
+
+
+def test_theta_carry_over_multi_segment(spark, pages, tmp_path):
+    """VERDICT r2 #7: θ carried across segment generations. After an
+    append (corpus stats drift), a cached query re-seeds θ₀ from the
+    previous top-k champion partials RECOMPUTED under current stats —
+    rank-identical answers with pass A skipped (fewer decoded blocks,
+    one fewer Spark job)."""
+    from solr_indexer_spark.query.wand import ThetaCache, topk_wand
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    half1 = pages.filter(F.crc32("url") % 2 == 0)
+    half2 = pages.filter(F.crc32("url") % 2 == 1)
+    ing.process_batch(half1, 0)
+
+    # terms with df >= k so the champion pass yields a full top-k of
+    # partials to carry (a df<k champion can never seed θ)
+    q = spark.createDataFrame([(1, "term0002 term0003 term0004", 10)],
+                              "query_id int, query_text string, k int")
+    cache = ThetaCache(str(tmp_path / "theta.json"))
+
+    # segment 1: fresh run fills the carry
+    carry, counts1 = {}, {}
+    r1 = topk_wand(q, ing.load(spark), theta_min_postings=0,
+                   carry_out=carry, debug_block_counts=counts1).collect()
+    assert counts1["passA_blocks"] > 0 and 1 in carry
+    cache.save(carry)
+
+    # segment 2 appended: n_docs/avgdl drift
+    ing.process_batch(half2, 1)
+    bindex = ing.load(spark)
+
+    counts_fresh, counts_carry = {}, {}
+    fresh = topk_wand(q, bindex, theta_min_postings=0,
+                      debug_block_counts=counts_fresh).collect()
+    carried = topk_wand(q, bindex, theta_min_postings=0,
+                        theta_carry=cache.load(),
+                        debug_block_counts=counts_carry).collect()
+    # rank identity against the fresh (pass-A-seeded) run
+    assert [(r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in carried] == \
+           [(r["doc_id"], r["rank"], round(r["score"], 6)) for r in fresh]
+    # pass A skipped entirely; total decoded blocks strictly drop
+    assert "passA_blocks" not in counts_carry
+    assert counts_carry["passB_blocks"] <= counts_fresh["passB_blocks"]
+    total_fresh = counts_fresh["passA_blocks"] + counts_fresh["passB_blocks"]
+    assert counts_carry["passB_blocks"] < total_fresh
