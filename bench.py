@@ -193,6 +193,41 @@ def main() -> None:
           .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
     timings["window_agg"] = time.perf_counter() - t0
 
+    # --- r3 surfaces (appended AFTER the r1/r2 stages so their
+    # like-for-like comparisons keep the same token-bucket position) ---
+    # sloppy-phrase query over a positional index (Lucene "a b"~N)
+    from solr_indexer_spark.index.positions import positional_postings
+    from solr_indexer_spark.query.qtree import search_tree
+    t0 = time.perf_counter()
+    pos = positional_postings(docs, id_col="doc_id").cache()
+    pos.count()
+    timings["positional_build"] = time.perf_counter() - t0
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        search_tree('"batch small"~2 AND dup^2', docs, index, k=10,
+                    pos_postings=pos).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["phrase_slop_query"] = best
+
+    # IVFPQ: train+encode+store, then pruned ADC probe with exact refine
+    import tempfile
+    from solr_indexer_spark.operators.similarity import (
+        ann_ivf_pq_topk, ivf_pq_store, kmeans_centroids, pq_train)
+    t0 = time.perf_counter()
+    C = kmeans_centroids(embs, nlist=16)
+    books = pq_train(embs, C, m=8)
+    pq_path = tempfile.mkdtemp(prefix="bench_ivfpq_") + "/store"
+    ivf_pq_store(embs, C, books, pq_path)
+    timings["ivfpq_store_build"] = time.perf_counter() - t0
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        ann_ivf_pq_topk(spark, pq_path, C, books, qs, k=10, nprobe=4,
+                        refine=4, vectors=embs).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["ann_ivfpq_topk"] = best
+
     total = time.perf_counter() - t_all
     print(json.dumps({
         "metric": "index_build_and_query_bench",

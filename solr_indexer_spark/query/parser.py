@@ -34,7 +34,8 @@ from ..analysis import SCORE_DECIMALS, tokenize_col, tokenize_py
 
 _TOKEN_SPLIT = re.compile(r'"([^"]*)"|(\S+)')
 # syntax only the boolean tree engine understands
-_ADVANCED = re.compile(r'[()\[\{*?]|\bAND\b|\bOR\b|\bNOT\b|&&|\|\|')
+_ADVANCED = re.compile(
+    r'[()\[\{*?^~]|\bAND\b|\bOR\b|\bNOT\b|&&|\|\|')  # ^boost ~slop/fuzzy
 
 
 _FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")

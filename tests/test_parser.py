@@ -121,3 +121,20 @@ def test_search_lucene_plan_is_distributed_topk(spark, corpus):
     df = search_lucene("dup +value -hash", docs, index, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_router_sends_boost_slop_fuzzy_to_tree(spark):
+    """r3 syntax (term^w, "a b"~N, term~) must route to the tree
+    engine, not the flat path (which would tokenize '^2' away)."""
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.positions import positional_postings
+    from solr_indexer_spark.query.parser import search_lucene
+    from solr_indexer_spark.query.qtree import search_tree
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index = build_index(docs, id_col="doc_id")
+    pos = positional_postings(docs, id_col="doc_id")
+    for q in ["dup^3 value", '"value table"~2 AND dup', "part~1"]:
+        via = search_lucene(q, docs, index, k=5, pos_postings=pos)
+        direct = search_tree(q, docs, index, k=5, pos_postings=pos)
+        assert [tuple(r) for r in via.collect()] == \
+            [tuple(r) for r in direct.collect()], q
