@@ -622,6 +622,70 @@ def q_lucene_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("score", 4).alias("score_r"))
 
 
+def q_lucene_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blended fuzzy rewrite (Lucene FuzzyQuery's actual default,
+    TopTermsBlendedFreqScoringRewrite): 'part~2' expands against the
+    term dictionary; expanded terms match AND score with boost
+    1 − ed/min(|q|,|t|)."""
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_tree("part~2 AND dup", docs, index, k=10,
+                       fuzzy_scored=True)
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
+def _fuzzy_scored_sql() -> str:
+    tok = tokenize_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expanded AS (
+  SELECT term,
+         1.0 - levenshtein(term, 'part')::DOUBLE
+               / least(length(term), 4) AS qw
+  FROM df
+  WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+qt AS (
+  SELECT term, sum(qw) AS qw FROM (
+    SELECT term, qw FROM expanded
+    UNION ALL SELECT 'dup' AS term, 1.0 AS qw
+  ) GROUP BY term
+),
+gated AS (
+  SELECT DISTINCT tf.doc_id
+  FROM tf JOIN expanded e ON tf.term = e.term
+  JOIN t ON t.doc_id = tf.doc_id
+  WHERE list_contains(t.toks, 'dup')
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(qt.qw * ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN qt USING (term) JOIN df USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+s2 AS (SELECT g.doc_id, coalesce(s.score, 0.0) AS score
+       FROM gated g LEFT JOIN scored s USING (doc_id)),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM s2
+)
+SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
 def _phrase_slop_sql() -> str:
     # 2-term sloppy window: exists positions i of 'value', j of 'table'
     # with |(j-1) - i| ≤ 2 (shifted-position window, = Lucene's 2-term
@@ -1333,6 +1397,7 @@ QUERIES = {
     "lucene_phrase_slop": q_lucene_phrase_slop,
     "lucene_boost": q_lucene_boost,
     "lucene_fuzzy": q_lucene_fuzzy,
+    "lucene_fuzzy_scored": q_lucene_fuzzy_scored,
     "raw_doc_fl": q_raw_doc_fl,
     "schema_validate": q_schema_validate,
     "wkt_segmentize": q_wkt_segmentize,
@@ -1394,6 +1459,7 @@ ORACLE_SQL = {
     "lucene_phrase_slop": _phrase_slop_sql(),
     "lucene_boost": _boost_sql(),
     "lucene_fuzzy": _fuzzy_sql(),
+    "lucene_fuzzy_scored": _fuzzy_scored_sql(),
     "schema_validate_ledger": """
         WITH d AS (
           SELECT doc_id,

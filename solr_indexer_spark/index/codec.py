@@ -235,23 +235,45 @@ def _pack_streams(values: np.ndarray, starts: np.ndarray,
         tmp >>= np.uint64(1)
     bl = np.maximum(bl, 1)
     mean_bl = (np.add.reduceat(bl.astype(np.int64), starts) / ns)
-    cand = np.where((widths >= 6) & (widths - mean_bl >= 4) &
+    cand = np.where((widths >= 4) & (widths - mean_bl >= 2) &
                     (ns >= 8) & (ns <= 0xFFFF))[0]
+
+    def vb_arr_len(a: np.ndarray) -> int:
+        # exact varbyte byte count without encoding
+        lens = np.ones(a.size, np.int64)
+        t = a.astype(np.uint64) >> np.uint64(7)
+        while (t > 0).any():
+            lens += (t > 0)
+            t >>= np.uint64(7)
+        return int(lens.sum())
+
     for bi in cand:
         s, e = starts[bi], ends[bi]
         vals = values[s:e]
-        bls = bl[s:e]
+        bls = bl[s:e].astype(np.int64)
         n = int(ns[bi])
-        n_exc_max = min(max(n // 16, 1), 255)
-        w = int(np.sort(bls)[-(n_exc_max + 1)])
-        if w < 1 or w >= widths[bi]:
-            continue
-        exc = np.where(bls > w)[0]
-        if not exc.size or exc.size > 255:
-            continue
-        blob = pfor_encode(vals, w, exc)
-        if len(blob) < len(out[bi]):
-            out[bi] = blob
+        # per-block width SWEEP (NEXT r2 #2): the size-vs-width curve
+        # is piecewise linear with breakpoints only at widths equal to
+        # a present bit length, so evaluating the EXACT blob size at
+        # each distinct bit length (closed-form, no trial encode) finds
+        # the optimum — the old single quantile candidate could miss it
+        best_w, best_exc, best_sz = None, None, len(out[bi])
+        for w in np.unique(bls):
+            w = int(w)
+            if w < 1 or w >= int(widths[bi]):
+                continue
+            exc = np.where(bls > w)[0]
+            if not exc.size or exc.size > 255:
+                continue
+            idx_deltas = np.diff(exc.astype(np.uint64),
+                                 prepend=np.uint64(0))
+            highs = vals[exc] >> np.uint64(w)
+            sz = (5 + (n * w + 7) // 8 + 2
+                  + vb_arr_len(idx_deltas) + vb_arr_len(highs))
+            if sz < best_sz:
+                best_w, best_exc, best_sz = w, exc, sz
+        if best_w is not None:
+            out[bi] = pfor_encode(vals, best_w, best_exc)
     return out
 
 

@@ -72,6 +72,53 @@ def _sloppy_window_pred(n_terms: int, slop: int) -> F.Column:
     return F.exists(ws, fits)
 
 
+def _sloppy_exact_pred(phrase: list[str], slop: int):
+    """Arrow-batched exact matcher for sloppy phrases with REPEATED
+    terms: Lucene requires an INJECTIVE assignment of positions to the
+    phrase slots (one occurrence cannot serve two slots). Injectivity
+    only matters within slots of the same term — distinct terms never
+    share a token position — so per window start w each term's slots do
+    a greedy interval matching (windows sorted by slot offset, take the
+    smallest unused position; exchange-argument optimal). Runs only on
+    docs that already survived the n-way positional join."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    groups: dict[str, list[int]] = {}
+    for j, t in enumerate(phrase):
+        groups.setdefault(t, []).append(j)
+    grp = list(groups.values())
+
+    @pandas_udf(T.BooleanType())
+    def pred(*cols: pd.Series) -> pd.Series:
+        out = []
+        for arrays in zip(*cols):
+            ws = sorted({int(x) for a in arrays for x in a})
+            ok = False
+            for w in ws:
+                good = True
+                for slots in grp:
+                    used: set = set()
+                    for j in slots:          # windows ordered by offset
+                        cands = sorted(int(x) + j for x in arrays[j]
+                                       if w <= x <= w + slop)
+                        pick = next((c for c in cands if c not in used),
+                                    None)
+                        if pick is None:
+                            good = False
+                            break
+                        used.add(pick)
+                    if not good:
+                        break
+                if good:
+                    ok = True
+                    break
+            out.append(ok)
+        return pd.Series(out)
+
+    return pred
+
+
 def phrase_match_positions(pos_postings: DataFrame, phrase: list[str],
                            id_col: str = "doc_id",
                            slop: int = 0) -> DataFrame:
@@ -93,6 +140,13 @@ def phrase_match_positions(pos_postings: DataFrame, phrase: list[str],
                         F.transform("positions", shift_by(i)).alias(f"_p{i}")))
         sides.append(side)
     joined = reduce(lambda a, b: a.join(b, id_col), sides)
+    if slop > 0 and len(set(phrase)) < len(phrase):
+        # repeated terms: the window predicate could reuse one
+        # occurrence for two slots — exact injective matcher instead
+        pred = _sloppy_exact_pred(phrase, slop)
+        cols = [F.col(f"_p{i}") for i in range(len(phrase))]
+        return (joined.filter(pred(*cols))
+                .select(id_col).orderBy(id_col))
     return (joined.filter(_sloppy_window_pred(len(phrase), slop))
             .select(id_col).orderBy(id_col))
 
@@ -176,6 +230,11 @@ def phrase_match_positions_compressed(pos_comp: DataFrame,
                                     shift_by(i)).alias(f"_p{i}")))
         sides.append(side)
     joined = reduce(lambda a, b: a.join(b, id_col), sides)
+    if slop > 0 and len(set(phrase)) < len(phrase):
+        pred = _sloppy_exact_pred(phrase, slop)
+        cols = [F.col(f"_p{i}") for i in range(len(phrase))]
+        return (joined.filter(pred(*cols))
+                .select(id_col).orderBy(id_col))
     return (joined.filter(_sloppy_window_pred(len(phrase), slop))
             .select(id_col).orderBy(id_col))
 

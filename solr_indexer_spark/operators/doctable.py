@@ -37,13 +37,19 @@ from pyspark.sql import functions as F
 class DocTable:
     def __init__(self, spark: SparkSession, base_dir: str,
                  id_col: str = "doc_id",
-                 auto_compact_deltas: int | None = None):
+                 auto_compact_deltas: int | None = None,
+                 auto_compact_tombstone_frac: float | None = None):
         self.spark = spark
         self.base_dir = base_dir
         self.id_col = id_col
         # fold deltas into a new base once this many accumulate (None =
         # manual compact() only) — merge-on-read cost stays bounded
         self.auto_compact_deltas = auto_compact_deltas
+        # fold when tombstones exceed this fraction of base rows (the
+        # Lucene deletes-percentage merge trigger); None = off. Checked
+        # after each delete from already-tracked counters — no extra
+        # scan
+        self.auto_compact_tombstone_frac = auto_compact_tombstone_frac
         os.makedirs(base_dir, exist_ok=True)
         self._ptr = os.path.join(base_dir, "_snapshot.json")
         self._tomb_dir = os.path.join(base_dir, "tombstones")
@@ -140,7 +146,13 @@ class DocTable:
         doomed_ids.select(self.id_col).write.mode("overwrite").parquet(part)
         n = self.spark.read.parquet(part).count()
         ptr["version"] = version
+        ptr["n_tombstones"] = ptr.get("n_tombstones", 0) + n
         self._write_ptr(ptr)
+        if (self.auto_compact_tombstone_frac is not None
+                and ptr.get("n_base_rows")
+                and ptr["n_tombstones"] / ptr["n_base_rows"]
+                >= self.auto_compact_tombstone_frac):
+            self.compact()
         return n
 
     def delete_ids(self, ids: list) -> int:

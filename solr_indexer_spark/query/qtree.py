@@ -346,13 +346,37 @@ def all_wildcards(g: GroupN) -> list[str]:
     return out
 
 
+def _fuzzies(g: GroupN, positive_only: bool = False) -> list[FuzzyN]:
+    out: list[FuzzyN] = []
+    for mod, node in g.clauses:
+        if positive_only and mod == MUST_NOT:
+            continue
+        if isinstance(node, FuzzyN):
+            out.append(node)
+        elif isinstance(node, GroupN):
+            out.extend(_fuzzies(node, positive_only))
+    return out
+
+
+def _levenshtein_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class TreeExecutor:
     """Matches a GroupN against an InvertedIndex + doc table; all set
     algebra stays distributed (semi/anti joins + union distinct)."""
 
     def __init__(self, index, docs: DataFrame,
                  pos_postings: DataFrame | None = None,
-                 wildcard_expansions: dict | None = None):
+                 wildcard_expansions: dict | None = None,
+                 fuzzy_expansions: dict | None = None):
         self.index = index
         self.docs = docs
         self.pos_postings = pos_postings
@@ -361,6 +385,8 @@ class TreeExecutor:
         # so both matching and scoring are restricted to them (a doc
         # matching solely via a non-top-N term does NOT match)
         self.wildcard_expansions = wildcard_expansions
+        # (term, max_edits) -> [terms]: blended fuzzy rewrite expansion
+        self.fuzzy_expansions = fuzzy_expansions
         self.id_col = index.id_col
 
     def _term_ids(self, t: str) -> DataFrame:
@@ -407,7 +433,18 @@ class TreeExecutor:
         (constant-score rewrite): terms within edit distance ≤
         max_edits of t, postings semi-joined. The dictionary scan is
         JVM-side levenshtein with a cheap length pre-filter (|len−len|
-        ≤ max_edits bounds the edit distance from below)."""
+        ≤ max_edits bounds the edit distance from below). With a
+        driver-precomputed expansion (blended-scoring mode) the match
+        set restricts to those terms, mirroring wildcard TOP_TERMS."""
+        if (self.fuzzy_expansions is not None
+                and (t, max_edits) in self.fuzzy_expansions):
+            exp = self.fuzzy_expansions[(t, max_edits)]
+            if not exp:
+                return (self.index.postings.filter(F.lit(False))
+                        .select(self.id_col))
+            return (self.index.postings
+                    .filter(F.col("term").isin(*exp))
+                    .select(self.id_col).distinct())
         terms = (self.index.term_stats
                  .filter(F.abs(F.length("term") - F.lit(len(t)))
                          <= F.lit(max_edits))
@@ -466,7 +503,9 @@ class TreeExecutor:
 
 def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 pos_postings: DataFrame | None = None,
-                wildcard_top_terms: int | None = None) -> DataFrame:
+                wildcard_top_terms: int | None = None,
+                fuzzy_scored: bool = False,
+                fuzzy_max_expansions: int = 50) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
 
     score = BM25 over the tree's positive text terms. Wildcards follow
@@ -499,12 +538,42 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
             expansions[pattern] = [r["term"] for r in rows]
         for pattern in positive_wildcards(tree):
             extra_terms.extend(expansions[pattern])
+
+    # blended fuzzy rewrite (Lucene TopTermsBlendedFreqScoringRewrite,
+    # FuzzyQuery's actual default): each fuzzy term expands to its
+    # ≤ max_expansions highest-df dictionary terms within maxEdits;
+    # expanded terms MATCH and SCORE with boost 1 − ed/min(|q|,|t|)
+    # (FuzzyTermsEnum's boost). Default off = constant-score rewrite.
+    fuzzy_exp = None
+    fuzzy_weights: list[tuple[str, float]] = []
+    if fuzzy_scored:
+        fuzzy_exp = {}
+        pos_fuzzies = {(n.t, n.max_edits) for n in _fuzzies(tree, True)}
+        for node in _fuzzies(tree):
+            key = (node.t, node.max_edits)
+            if key in fuzzy_exp:
+                continue
+            rows = (index.term_stats
+                    .filter(F.abs(F.length("term") - F.lit(len(node.t)))
+                            <= F.lit(node.max_edits))
+                    .filter(F.levenshtein(F.col("term"), F.lit(node.t))
+                            <= F.lit(node.max_edits))
+                    .select("term", "df")
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(fuzzy_max_expansions).collect())
+            fuzzy_exp[key] = [r["term"] for r in rows]
+            if key in pos_fuzzies:
+                for r in rows:
+                    ed = _levenshtein_py(node.t, r["term"])
+                    blend = 1.0 - ed / min(len(node.t), len(r["term"]))
+                    fuzzy_weights.append((r["term"], blend))
     ex = TreeExecutor(index, docs, pos_postings,
-                      wildcard_expansions=expansions)
+                      wildcard_expansions=expansions,
+                      fuzzy_expansions=fuzzy_exp)
 
     matched = ex.match_ids(tree)
     weights = positive_weighted_terms(tree) \
-        + [(t, 1.0) for t in extra_terms]
+        + [(t, 1.0) for t in extra_terms] + fuzzy_weights
     if weights:
         scores = score_weighted(weights, index)
         scored = matched.join(scores, id_col, "left") \

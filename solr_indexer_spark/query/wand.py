@@ -138,10 +138,13 @@ class ThetaCache:
     scores are NOT valid bounds once idf/avgdl drift.
 
     The carry skips pass A entirely (one fewer Spark job and zero
-    champion-block decodes); pass B prunes with the carried θ. Carry is
-    ignored when tombstones are supplied (a tombstoned carried doc
-    would invalidate the bound) and when the carried term left the
-    query."""
+    champion-block decodes); pass B prunes with the carried θ. Entries
+    store (doc_id, tf, dl) triples, so under tombstones the carried
+    docs are revalidated with ONE tiny anti-join (k rows vs the
+    tombstone table — never a tombstone collect): killed docs drop out
+    and the k-th surviving partial still bounds; fewer than k survivors
+    falls back to pass A. Carry is also skipped when the carried term
+    left the query."""
 
     def __init__(self, path: str):
         self.path = path
@@ -315,15 +318,41 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         # RECOMPUTED under current stats — valid lower bound, see
         # ThetaCache) and skip pass A entirely
         carried_qids = set()
-        if theta_carry and tombstones is None:
+        if theta_carry:
+            alive_by_qid: dict = {}
+            if tombstones is not None:
+                # ONE tiny job revalidates every carried doc id (≤ k per
+                # query) against the tombstone table — the tombstones
+                # themselves are never collected
+                carried_ids = sorted({
+                    int(p[0])
+                    for qid, k, w, *_ in multi
+                    for p in (theta_carry.get(qid) or {}).get("pairs", [])
+                    if len(p) == 3 and (theta_carry[qid]["term"] in w)})
+                if carried_ids:
+                    ids_df = spark.createDataFrame(
+                        [(i,) for i in carried_ids], "doc_id long")
+                    alive = {r["doc_id"] for r in
+                             ids_df.join(F.broadcast(tombstones),
+                                         "doc_id", "left_anti").collect()}
+                    alive_by_qid = {"_all": alive}
             for qid, k, w, champ, total_ub, t_ub in multi:
                 e = theta_carry.get(qid)
                 if not e or e["term"] not in w or len(e["pairs"]) < k:
                     continue
+                pairs = e["pairs"]
+                if tombstones is not None:
+                    if any(len(p) != 3 for p in pairs):
+                        continue            # legacy entry: no doc ids
+                    alive = alive_by_qid.get("_all", set())
+                    pairs = [p for p in pairs if int(p[0]) in alive]
+                    if len(pairs) < k:
+                        continue            # too many kills: pass A
                 wt = w[e["term"]]
                 parts = sorted(
-                    (wt * tf / (tf + _K1 * (1.0 - _B + _B * dl / avgdl))
-                     for tf, dl in e["pairs"]), reverse=True)
+                    (wt * p[-2] / (p[-2] + _K1 * (1.0 - _B
+                                                  + _B * p[-1] / avgdl))
+                     for p in pairs), reverse=True)
                 theta[qid] = parts[k - 1]
                 carried_qids.add(qid)
                 if carry_out is not None:
@@ -349,13 +378,18 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 cpart = cpart.join(F.broadcast(tombstones), "doc_id",
                                    "left_anti")
             wk = Window.partitionBy("query_id").orderBy(F.col("s").desc())
-            k_expr = F.coalesce(*([F.when(F.col("query_id") == qid,
-                                          F.lit(k))
-                                   for qid, k in k_map.items()]
-                                  + [F.lit(10)]))
+            # collect 2k champion partials: row k seeds θ for THIS run;
+            # the extra k give the ThetaCache kill headroom (a few
+            # tombstoned carried docs can drop out and the k-th
+            # surviving partial still bounds)
+            k2_expr = F.coalesce(*([F.when(F.col("query_id") == qid,
+                                           F.lit(2 * k))
+                                    for qid, k in k_map.items()]
+                                   + [F.lit(20)]))
             theta_rows = (cpart.withColumn("_r", F.row_number().over(wk))
-                          .filter(F.col("_r") <= k_expr)
-                          .select("query_id", "s", "tf", "dl", "_r")
+                          .filter(F.col("_r") <= k2_expr)
+                          .select("query_id", "doc_id", "s", "tf", "dl",
+                                  "_r")
                           .collect())
             champ_by_qid = {qid: champ for qid, _, _, champ, _, _ in fresh}
             for r in theta_rows:
@@ -365,7 +399,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 pairs: dict = {}
                 for r in theta_rows:
                     pairs.setdefault(r["query_id"], []).append(
-                        (int(r["tf"]), int(r["dl"])))
+                        (int(r["doc_id"]), int(r["tf"]), int(r["dl"])))
                 for qid, ps in pairs.items():
                     if len(ps) >= k_map[qid]:
                         carry_out[qid] = {"term": champ_by_qid[qid],

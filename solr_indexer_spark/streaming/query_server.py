@@ -1,0 +1,92 @@
+"""Persistent query server — the long-lived serving shape (NEXT r2 #1).
+
+The reference serves queries through a standing Solr process
+(solrindexer/search.py:211-237: every CLI call hits the same warm
+server). The Spark analogue is a long-lived session + Structured
+Streaming of QUERIES: query rows arrive on a stream (files here; a
+socket/Kafka source in production), each micro-batch runs the
+driver-planned block-max top-k against a PINNED index, results append
+to a per-batch-partitioned sink.
+
+What the long-lived shape amortizes (paid once, not per query):
+  * SparkSession + executor JVM spin-up (~15 s in this sandbox);
+  * the cached/coalesced block table and term_meta;
+  * the driver-pinned term dictionary (0-job query planning);
+  * Arrow python workers for the decode pass;
+  * the ThetaCache — repeated query ids skip pass A entirely on later
+    batches (multi-segment θ carry-over, query/wand.py).
+
+Exactly-once: results land as per-batch partitions
+(``results/batch_id=N``) with mode=overwrite — a foreachBatch replay
+rewrites its own directory (the StreamingIndexIngest pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.codec import BlockIndex
+from ..query.wand import ThetaCache, topk_wand
+
+QUERY_SCHEMA = "query_id int, query_text string, k int"
+
+
+class QueryServer:
+    def __init__(self, bindex: BlockIndex, out_dir: str,
+                 tombstones: DataFrame | None = None,
+                 use_theta_cache: bool = True,
+                 theta_min_postings: int | None = None):
+        self.bindex = bindex
+        self.out_dir = out_dir
+        self.tombstones = tombstones
+        os.makedirs(out_dir, exist_ok=True)
+        # θ cache only helps when pass A can be skipped — disabled
+        # automatically alongside tombstones (see ThetaCache soundness)
+        self.theta_cache = (ThetaCache(os.path.join(out_dir, "_theta.json"))
+                            if use_theta_cache and tombstones is None
+                            else None)
+        self.theta_min_postings = theta_min_postings
+        self.batches_served = 0
+
+    def warm(self) -> None:
+        """Pay the one-time costs up front: cache+coalesce the block
+        table, cache term_meta, pin the term dictionary driver-side."""
+        spark = self.bindex.blocks.sparkSession
+        cpus = spark.sparkContext.defaultParallelism
+        self.bindex.blocks = self.bindex.blocks.coalesce(
+            max(cpus // 4, 4)).cache()
+        self.bindex.blocks.count()
+        self.bindex.term_meta = self.bindex.meta().cache()
+        self.bindex.term_meta.count()
+        self.bindex.load_term_dict()
+
+    def process_batch(self, queries: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — also directly callable for tests."""
+        kwargs = {}
+        if self.theta_min_postings is not None:
+            kwargs["theta_min_postings"] = self.theta_min_postings
+        carry_out: dict = {}
+        carry_in = self.theta_cache.load() if self.theta_cache else None
+        hits = topk_wand(queries, self.bindex,
+                         tombstones=self.tombstones,
+                         theta_carry=carry_in, carry_out=carry_out,
+                         **kwargs)
+        (hits.write.mode("overwrite")
+         .parquet(os.path.join(self.out_dir, "results",
+                               f"batch_id={batch_id}")))
+        if self.theta_cache and carry_out:
+            self.theta_cache.save(carry_out)
+        self.batches_served += 1
+
+    def start(self, queries_stream: DataFrame, checkpoint_dir: str):
+        """Attach to a readStream of (query_id, query_text, k) rows."""
+        return (queries_stream.writeStream
+                .option("checkpointLocation", checkpoint_dir)
+                .foreachBatch(lambda df, bid: self.process_batch(df, bid))
+                .start())
+
+    def results(self, spark) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "results"))

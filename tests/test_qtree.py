@@ -263,3 +263,30 @@ def test_fuzzy_matches_expansion(spark, corpus):
     assert got == want
     # constant-score: fuzzy contributes no BM25 weight
     assert all(r["score"] == 0.0 for r in hits.collect())
+
+
+def test_sloppy_phrase_repeated_terms(spark):
+    """NEXT r3 #4: Lucene requires distinct positions for repeated
+    phrase terms — one occurrence cannot fill two slots."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match_positions, positional_postings,
+        positional_postings_compressed, phrase_match_positions_compressed)
+    docs = spark.createDataFrame(
+        [(0, "x a y"),        # ONE 'a' — must not match "a a"~N
+         (1, "a y a"),        # two a's, gap 2
+         (2, "a a x"),        # adjacent
+         (3, "a x x x a")],   # gap 4
+        "doc_id long, text string")
+    pos = positional_postings(docs, id_col="doc_id")
+    posc = positional_postings_compressed(docs, id_col="doc_id")
+    for fn, p in ((phrase_match_positions, pos),
+                  (phrase_match_positions_compressed, posc)):
+        assert {r["doc_id"] for r in
+                fn(p, ["a", "a"], slop=0).collect()} == {2}
+        assert {r["doc_id"] for r in
+                fn(p, ["a", "a"], slop=1).collect()} == {1, 2}
+        assert {r["doc_id"] for r in
+                fn(p, ["a", "a"], slop=3).collect()} == {1, 2, 3}
+        # the single-'a' doc survives the join but never the matcher
+        assert 0 not in {r["doc_id"] for r in
+                         fn(p, ["a", "a"], slop=9).collect()}

@@ -276,3 +276,37 @@ def test_theta_carry_over_multi_segment(spark, pages, tmp_path):
     assert counts_carry["passB_blocks"] <= counts_fresh["passB_blocks"]
     total_fresh = counts_fresh["passA_blocks"] + counts_fresh["passB_blocks"]
     assert counts_carry["passB_blocks"] < total_fresh
+
+
+def test_theta_carry_with_tombstones(spark, pages, tmp_path):
+    """NEXT r3 #8: carry entries hold doc_ids, so tombstones no longer
+    disable the carry — carried docs revalidate via one tiny anti-join.
+    A kill inside the carried top-k drops that pair (k-th surviving
+    partial still bounds); results stay rank-identical to fresh."""
+    from solr_indexer_spark.query.wand import topk_wand
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    ing.process_batch(pages.filter(F.crc32("url") % 2 == 0), 0)
+    q = spark.createDataFrame([(1, "term0002 term0003 term0004", 5)],
+                              "query_id int, query_text string, k int")
+    bindex = ing.load(spark)
+    carry = {}
+    r1 = topk_wand(q, bindex, theta_min_postings=0,
+                   carry_out=carry).collect()
+    assert 1 in carry and len(carry[1]["pairs"][0]) == 3  # (doc,tf,dl)
+
+    # tombstone the #1 hit — inside the carried champion top-k
+    victim = r1[0]["doc_id"]
+    tomb = spark.createDataFrame([(int(victim),)], "doc_id long")
+    counts = {}
+    carried = topk_wand(q, bindex, theta_min_postings=0,
+                        theta_carry=carry, tombstones=tomb,
+                        debug_block_counts=counts).collect()
+    fresh = topk_wand(q, bindex, theta_min_postings=0,
+                      tombstones=tomb).collect()
+    assert [(r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in carried] == \
+           [(r["doc_id"], r["rank"], round(r["score"], 6)) for r in fresh]
+    assert victim not in {r["doc_id"] for r in carried}
+    # carry still engaged (5 of the ≥5 carried pairs survive → no pass A)
+    assert "passA_blocks" not in counts
