@@ -154,10 +154,20 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
+                      threshold: float = 0.5, shingle_n: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """(a, b, j) pairs: candidates collide in ≥1 LSH band, then exact
     shingle-set Jaccard ≥ threshold is verified. Deterministic:
-    the same pairs fall out in any engine computing the same hashes."""
+    the same pairs fall out in any engine computing the same hashes.
+
+    ``max_bucket`` bounds the band-bucket self-join at web scale: a
+    corpus-wide boilerplate signature puts millions of docs in ONE
+    (band, key) bucket and the within-bucket join goes n² — the classic
+    LSH hot-bucket failure. Buckets larger than max_bucket are dropped
+    before the join (standard practice: an over-full bucket carries no
+    discriminating information; its members still pair through their
+    other, more selective bands). None = unbounded (the exact oracle
+    semantics the gates pin)."""
     r = n_hashes // bands
     sigs = minhash_signature(docs, id_col, n_hashes, shingle_n)
     band_rows = sigs.select(
@@ -167,6 +177,16 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
                      F.concat_ws("_", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string")
                                         for j in range(r)]).alias("key"))
             for bi in range(bands)])).alias("bk"))
+    if max_bucket is not None:
+        sizes = (band_rows
+                 .groupBy(F.col("bk.band").alias("_b"),
+                          F.col("bk.key").alias("_k"))
+                 .agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") > max_bucket))
+        band_rows = band_rows.join(
+            F.broadcast(sizes),
+            (F.col("bk.band") == F.col("_b")) &
+            (F.col("bk.key") == F.col("_k")), "left_anti")
     cands = (band_rows.alias("x").join(
         band_rows.alias("y"),
         (F.col("x.bk.band") == F.col("y.bk.band")) &

@@ -313,10 +313,22 @@ def ivf_store(vectors: DataFrame, centroids: np.ndarray, path: str,
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def opq_rotation(dim: int, seed: int = 13) -> np.ndarray:
+    """OPQ-lite: a deterministic random orthonormal rotation applied to
+    residuals before the subspace split (the cheap 90% of OPQ — it
+    decorrelates dimensions so no PQ subspace is stuck with correlated
+    coordinates; full OPQ would iterate rotation ↔ codebooks). QR of a
+    seeded gaussian, sign-canonicalized so the matrix is unique."""
+    rng = np.random.default_rng(seed)
+    Q, R = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return Q * np.sign(np.diag(R))
+
+
 def pq_train(vectors: DataFrame, centroids: np.ndarray,
              m: int = 8, nbits: int = 8, iters: int = 10, seed: int = 11,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_size: int = 4096) -> np.ndarray:
+             sample_size: int = 4096,
+             rotation: np.ndarray | None = None) -> np.ndarray:
     """Product-quantization codebooks over IVF RESIDUALS (the FAISS
     IVFPQ shape): unit-normalize, subtract the assigned coarse
     centroid, split the residual into ``m`` subvectors, k-means each
@@ -330,6 +342,8 @@ def pq_train(vectors: DataFrame, centroids: np.ndarray,
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     cells = np.argmax(X @ centroids.T, axis=1)
     R = X - centroids[cells]
+    if rotation is not None:
+        R = R @ rotation.T
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -356,7 +370,8 @@ def pq_train(vectors: DataFrame, centroids: np.ndarray,
 def ivf_pq_store(vectors: DataFrame, centroids: np.ndarray,
                  codebooks: np.ndarray, path: str,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> None:
+                 vec_col: str = "embedding",
+                 rotation: np.ndarray | None = None) -> None:
     """Materialize (id, codes binary[m bytes], cell) PARTITIONED BY
     CELL — m bytes per vector instead of 4·dim, for memory-bound
     corpora; probes still prune to nprobe/nlist of the files. Encoding
@@ -381,6 +396,8 @@ def ivf_pq_store(vectors: DataFrame, centroids: np.ndarray,
                             1e-12)
             cells = np.argmax(X @ C.T, axis=1)
             R = X - C[cells]
+            if rotation is not None:
+                R = R @ rotation.T
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
                 S = R[:, j * dsub:(j + 1) * dsub]
@@ -401,7 +418,8 @@ def ann_ivf_pq_topk(spark, path: str, centroids: np.ndarray,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_vec_id",
                     refine: int = 0,
-                    vectors: DataFrame | None = None) -> DataFrame:
+                    vectors: DataFrame | None = None,
+                    rotation: np.ndarray | None = None) -> DataFrame:
     """IVFPQ top-k by asymmetric distance (ADC): per query, a (m, 2^b)
     lookup table of q·codebook dot products is built once on the
     driver; each probed cell's codes score as
@@ -425,9 +443,13 @@ def ann_ivf_pq_topk(spark, path: str, centroids: np.ndarray,
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
+        # with a rotation, residual codes live in rotated space:
+        # q·r = (R q)·z, so the LUT uses the ROTATED query; the q·c
+        # base term stays unrotated
+        qr = rotation @ qn if rotation is not None else qn
         lut = np.empty((m, ksub))
         for j in range(m):
-            lut[j] = books[j] @ qn[j * dsub:(j + 1) * dsub]
+            lut[j] = books[j] @ qr[j * dsub:(j + 1) * dsub]
         qid = int(r[qid_col])
         luts[qid] = lut
         bases[qid] = C @ qn                    # per-cell q·centroid

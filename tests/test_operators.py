@@ -221,3 +221,95 @@ def test_ivf_pq_recall_and_compression(spark, embs, tmp_path):
     adc = ann_ivf_pq_topk(spark, pq_path, C, books, qs, k=10, nprobe=16)
     assert adc.groupBy("query_vec_id").count() \
         .filter(F.col("count") != 10).count() == 0
+
+
+def test_minhash_hot_bucket_cap(spark, docs):
+    """max_bucket bounds the within-bucket n² at web scale: generous
+    caps change nothing on this corpus; a tiny cap still runs and
+    returns a subset with identical Jaccard values."""
+    from solr_indexer_spark.operators.dedup import dedup_minhash_lsh
+    base = {(r["a"], r["b"]): r["j_r4"] for r in
+            dedup_minhash_lsh(docs, threshold=0.5).collect()}
+    capped = {(r["a"], r["b"]): r["j_r4"] for r in
+              dedup_minhash_lsh(docs, threshold=0.5,
+                                max_bucket=500).collect()}
+    assert capped == base                      # no bucket is that hot
+    tiny = {(r["a"], r["b"]): r["j_r4"] for r in
+            dedup_minhash_lsh(docs, threshold=0.5,
+                              max_bucket=2).collect()}
+    assert set(tiny) <= set(base)
+    for k, v in tiny.items():
+        assert v == base[k]
+
+
+def test_ivf_pq_opq_rotation(spark, embs, tmp_path):
+    """OPQ-lite (NEXT r3 #5): a seeded orthonormal rotation before the
+    subspace split — same recall contract, deterministic, and the
+    rotated store decodes consistently (q·r = (Rq)·z)."""
+    import numpy as np
+    from solr_indexer_spark.operators.similarity import (
+        ann_ivf_pq_topk, ivf_pq_store, kmeans_centroids, opq_rotation,
+        pq_train)
+    R = opq_rotation(64)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-10)
+    assert np.allclose(R, opq_rotation(64))    # deterministic
+    C = kmeans_centroids(embs, nlist=16)
+    books = pq_train(embs, C, m=8, rotation=R)
+    path = str(tmp_path / "opq")
+    ivf_pq_store(embs, C, books, path, rotation=R)
+    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_vec_id")
+    brute = {(r["query_vec_id"], r["vec_id"])
+             for r in ann_brute_topk(embs, qs, k=10).collect()}
+    got = ann_ivf_pq_topk(spark, path, C, books, qs, k=10, nprobe=16,
+                          refine=4, vectors=embs, rotation=R)
+    gset = {(r["query_vec_id"], r["vec_id"]) for r in got.collect()}
+    assert len(gset & brute) / len(brute) >= 0.9
+
+
+def test_media_header_sniffing(spark):
+    """REAL (no-stub) container-header parsing: PNG/GIF/JPEG dims and
+    WAV audio params from synthesized golden byte fixtures; junk and
+    truncated payloads null out instead of failing the task."""
+    import struct
+    from solr_indexer_spark.operators.multimodal import (
+        sniff_media_meta, sniff_media_meta_py)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17)
+            + bytes([8]) + struct.pack(">HH", 1080, 1920) + bytes([3])
+            + b"\x00" * 10)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    data = b"\x00" * 88200                    # 0.5 s at 176400 B/s
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+
+    assert sniff_media_meta_py(png) == {
+        "format": "png", "width": 640, "height": 480, "n_channels": None,
+        "sample_rate": None, "duration_ms": None}
+    assert sniff_media_meta_py(gif)["width"] == 320
+    j = sniff_media_meta_py(jpeg)
+    assert (j["format"], j["width"], j["height"], j["n_channels"]) == \
+        ("jpeg", 1920, 1080, 3)
+    w = sniff_media_meta_py(wav)
+    assert (w["format"], w["n_channels"], w["sample_rate"],
+            w["duration_ms"]) == ("wav", 2, 44100, 500)
+    assert sniff_media_meta_py(b"not a media file") == {
+        "format": None, "width": None, "height": None, "n_channels": None,
+        "sample_rate": None, "duration_ms": None}
+    assert sniff_media_meta_py(png[:12])["format"] is None  # truncated
+
+    rows = [(0, "image", png), (1, "image", gif), (2, "image", jpeg),
+            (3, "audio", wav), (4, "junk", b"zzzz")]
+    assets = spark.createDataFrame(
+        [(i, k, p, len(p), "") for i, k, p in rows],
+        "asset_id long, kind string, payload binary, "
+        "payload_bytes long, payload_md5 string")
+    got = {r["asset_id"]: r for r in sniff_media_meta(assets).collect()}
+    assert got[0]["width"] == 640 and got[2]["height"] == 1080
+    assert got[3]["duration_ms"] == 500 and got[4]["format"] is None
