@@ -290,3 +290,29 @@ def test_sloppy_phrase_repeated_terms(spark):
         # the single-'a' doc survives the join but never the matcher
         assert 0 not in {r["doc_id"] for r in
                          fn(p, ["a", "a"], slop=9).collect()}
+
+
+def test_phrase_suffix_combinations(spark, corpus):
+    """Combined '"a b"~N^w' (Lucene order: slop then boost), and a
+    negated sloppy phrase under a modifier."""
+    from solr_indexer_spark.index.positions import positional_postings
+    g = parse_tree('"big data"~3^2.5')
+    (m, p), = g.clauses
+    assert isinstance(p, PhraseN) and p.slop == 3 and p.boost == 2.5
+    g2 = parse_tree('-"big data"~1 dup')
+    assert g2.clauses[0][0] == "MUST_NOT"
+    assert isinstance(g2.clauses[0][1], PhraseN)
+    assert g2.clauses[0][1].slop == 1
+
+    docs, index = corpus
+    pos = positional_postings(docs, id_col="doc_id")
+    # negated sloppy phrase excludes its matches from the term's set
+    only = search_tree("dup", docs, index, k=1000,
+                       pos_postings=pos).collect()
+    neg = search_tree('dup -"big data"~1', docs, index, k=1000,
+                      pos_postings=pos).collect()
+    from solr_indexer_spark.index.positions import phrase_match_positions
+    ph = {r["doc_id"] for r in
+          phrase_match_positions(pos, ["big", "data"], slop=1).collect()}
+    assert {r["doc_id"] for r in neg} == \
+        {r["doc_id"] for r in only} - ph
