@@ -155,3 +155,16 @@ def test_block_index_as_logical_index(spark, docs):
             index.postings.filter(F.col("term") == "term0000").collect()}
     got = {tuple(r) for r in scoped.postings.collect()}
     assert got == full
+
+
+def test_single_query_rank_is_take_ordered(spark, docs):
+    """r3 #8 (PLANS.md §8): a single query ranks via
+    TakeOrderedAndProject (driver-merged bounded heaps) — no window
+    exchange after the decode; the only Window left numbers k rows."""
+    bindex = build_block_index(build_index(docs, id_col="doc_id"),
+                               shard_range=4096)
+    q = spark.createDataFrame([(1, "term0000 term0101 term0003", 10)],
+                              "query_id int, query_text string, k int")
+    out = topk_wand(q, bindex, theta_min_postings=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
