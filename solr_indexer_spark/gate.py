@@ -74,7 +74,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(page_clause: str = "rnk <= k") -> str:
     tok = tokenize_sql("text")
     qtok = tokenize_sql("query_text")
     return f"""
@@ -116,7 +116,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rnk, doc_id, score_r
-FROM ranked WHERE rnk <= k
+FROM ranked WHERE {page_clause}
 ORDER BY query_id, rnk
 """
 
@@ -136,6 +136,30 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 4).alias("score_r"),
     )
+
+
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr `start` paging: rows (5, 5+k] with ABSOLUTE ranks —
+    the exact scorer."""
+    index = build_index(_docs(spark, sf_dir), id_col="doc_id")
+    hits = topk(_queries_df(spark), index, start=5)
+    return hits.select("query_id",
+                       F.col("rank").cast("long").alias("rnk"),
+                       "doc_id", F.round("score", 4).alias("score_r"))
+
+
+def q_wand_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same page through the block-max pruned path — θ seeded at depth
+    start+k so the page stays exact."""
+    from .index.codec import build_block_index
+    from .query.wand import topk_wand
+    index = build_index(_docs(spark, sf_dir), id_col="doc_id")
+    bindex = build_block_index(index, shard_range=4096)
+    hits = topk_wand(_queries_df(spark), bindex, start=5,
+                     theta_min_postings=0)
+    return hits.select("query_id",
+                       F.col("rank").cast("long").alias("rnk"),
+                       "doc_id", F.round("score", 4).alias("score_r"))
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1413,8 @@ ORACLE_SQL_V2 = {
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
+    "bm25_page2": q_bm25_page2,
+    "wand_page2": q_wand_page2,
     "lucene_query": q_lucene_query,
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
@@ -1451,6 +1477,8 @@ ORACLE_SQL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
+    "bm25_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
+    "wand_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
     "lucene_query": _lucene_sql(),
     "lucene_bool_groups": _bool_groups_sql(),
     "lucene_field_range": _field_range_sql(),

@@ -72,11 +72,14 @@ def score_weighted(weights: list[tuple[str, float]],
 
 
 def topk(queries: DataFrame, index: InvertedIndex,
-         default_k: int = 10, tombstones: DataFrame | None = None) -> DataFrame:
+         default_k: int = 10, tombstones: DataFrame | None = None,
+         start: int = 0) -> DataFrame:
     """(query_id, <id>, score, rank) — reference default rows=10
     (solrindexer/search.py:133). ``tombstones`` (1-column id frame from
     DocTable deletes) is excluded BEFORE ranking — Lucene deleted-docs
-    bitmap semantics, no index rebuild after deletes."""
+    bitmap semantics, no index rebuild after deletes. ``start`` is
+    Solr's paging offset: rows (start, start+k] are returned with their
+    ABSOLUTE ranks (Solr numFound positions)."""
     scored = score_exact(queries, index)
     if tombstones is not None:
         scored = scored.join(F.broadcast(tombstones), index.id_col, "left_anti")
@@ -85,7 +88,10 @@ def topk(queries: DataFrame, index: InvertedIndex,
     ks = queries.select("query_id", "k")
     return (scored.withColumn("rank", F.row_number().over(w))
             .join(F.broadcast(ks), "query_id")
-            .filter(F.col("rank") <= F.coalesce(F.col("k"), F.lit(default_k)))
+            .filter((F.col("rank") > F.lit(start)) &
+                    (F.col("rank") <= F.coalesce(F.col("k"),
+                                                 F.lit(default_k))
+                     + F.lit(start)))
             .drop("k")
             .orderBy("query_id", "rank"))
 

@@ -174,7 +174,10 @@ class ThetaCache:
 
 
 def _rank_and_limit(scored: DataFrame, k_map: dict,
-                    tombstones: DataFrame | None) -> DataFrame:
+                    tombstones: DataFrame | None,
+                    start: int = 0) -> DataFrame:
+    """``start`` = Solr paging offset: rows (start, start+k] with their
+    ABSOLUTE ranks."""
     if tombstones is not None:
         # deleted-docs bitmap semantics: excluded before ranking
         scored = scored.join(F.broadcast(tombstones), "doc_id", "left_anti")
@@ -184,12 +187,13 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
         # single-query latency path (NEXT r2 #1): orderBy+limit compiles
         # to TakeOrderedAndProject — per-partition bounded heap merged
         # ON THE DRIVER, no exchange after the decode; the rank window
-        # then runs over only k rows. The multi-query window path below
-        # would shuffle every partial to rank them
+        # then runs over only start+k rows. The multi-query window path
+        # below would shuffle every partial to rank them
         (qid, k), = k_map.items()
-        top = scored.orderBy(*order).limit(k)
+        top = scored.orderBy(*order).limit(start + k)
         w1 = Window.orderBy(*order)
         return (top.withColumn("rank", F.row_number().over(w1))
+                .filter(F.col("rank") > F.lit(start))
                 .select("query_id", "doc_id", "score", "rank")
                 .orderBy("rank"))
     w = Window.partitionBy("query_id").orderBy(
@@ -201,8 +205,9 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
     # on `rank <= literal`, not on the per-query dynamic k
     max_k = max(k_map.values(), default=10)
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= F.lit(max_k))
-            .filter(F.col("rank") <= k_expr)
+            .filter(F.col("rank") <= F.lit(max_k + start))
+            .filter((F.col("rank") <= k_expr + F.lit(start)) &
+                    (F.col("rank") > F.lit(start)))
             .select("query_id", "doc_id", "score", "rank")
             .orderBy("query_id", "rank"))
 
@@ -218,7 +223,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
               theta_min_postings: int = THETA_MIN_POSTINGS,
               theta_carry: dict | None = None,
               carry_out: dict | None = None,
-              debug_block_counts: dict | None = None) -> DataFrame:
+              debug_block_counts: dict | None = None,
+              start: int = 0) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exact
     scorer (and the oracle), reading only surviving blocks.
 
@@ -227,7 +233,9 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     pass A for those queries (ignored when tombstones are given).
     ``carry_out``: pass a dict to receive the refreshed carry entries.
     ``debug_block_counts``: test hook — pass a dict to receive decoded
-    block counts per pass (costs extra count() jobs)."""
+    block counts per pass (costs extra count() jobs).
+    ``start``: Solr paging offset — rows (start, start+k] with absolute
+    ranks; θ seeding prunes to depth start+k so pages stay exact."""
     spark = queries.sparkSession
 
     # ---- driver-side planning (no Spark jobs) --------------------------
@@ -306,7 +314,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         else:
             scored = partials.groupBy("query_id", "doc_id") \
                 .agg(F.sum("s").alias("score"))
-        results.append(_rank_and_limit(scored, k_map, tombstones))
+        results.append(_rank_and_limit(scored, k_map, tombstones, start))
 
     # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
     if multi:
@@ -338,7 +346,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                     alive_by_qid = {"_all": alive}
             for qid, k, w, champ, total_ub, t_ub in multi:
                 e = theta_carry.get(qid)
-                if not e or e["term"] not in w or len(e["pairs"]) < k:
+                depth = k + start
+                if not e or e["term"] not in w or len(e["pairs"]) < depth:
                     continue
                 pairs = e["pairs"]
                 if tombstones is not None:
@@ -346,14 +355,14 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                         continue            # legacy entry: no doc ids
                     alive = alive_by_qid.get("_all", set())
                     pairs = [p for p in pairs if int(p[0]) in alive]
-                    if len(pairs) < k:
+                    if len(pairs) < depth:
                         continue            # too many kills: pass A
                 wt = w[e["term"]]
                 parts = sorted(
                     (wt * p[-2] / (p[-2] + _K1 * (1.0 - _B
                                                   + _B * p[-1] / avgdl))
                      for p in pairs), reverse=True)
-                theta[qid] = parts[k - 1]
+                theta[qid] = parts[k + start - 1]
                 carried_qids.add(qid)
                 if carry_out is not None:
                     carry_out[qid] = e          # still valid next time
@@ -383,7 +392,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
             # tombstoned carried docs can drop out and the k-th
             # surviving partial still bounds)
             k2_expr = F.coalesce(*([F.when(F.col("query_id") == qid,
-                                           F.lit(2 * k))
+                                           F.lit(2 * (k + start)))
                                     for qid, k in k_map.items()]
                                    + [F.lit(20)]))
             theta_rows = (cpart.withColumn("_r", F.row_number().over(wk))
@@ -393,7 +402,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                           .collect())
             champ_by_qid = {qid: champ for qid, _, _, champ, _, _ in fresh}
             for r in theta_rows:
-                if r["_r"] == k_map[r["query_id"]]:
+                if r["_r"] == k_map[r["query_id"]] + start:
                     theta[r["query_id"]] = r["s"]
             if carry_out is not None:
                 pairs: dict = {}
@@ -441,7 +450,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
             .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
         scored = partials.groupBy("query_id", "doc_id") \
             .agg(F.sum("s").alias("score"))
-        results.append(_rank_and_limit(scored, k_map, tombstones))
+        results.append(_rank_and_limit(scored, k_map, tombstones, start))
 
     out = results[0]
     for r in results[1:]:

@@ -168,3 +168,30 @@ def test_single_query_rank_is_take_ordered(spark, docs):
     out = topk_wand(q, bindex, theta_min_postings=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_paging_start_offset(spark, docs, qdf):
+    """Solr `start` paging: page 2 rows carry their ABSOLUTE ranks and
+    equal rows 6-10 of the unpaged result — exact scorer and WAND agree
+    at every theta mode."""
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=4096)
+    full = {r["query_id"]: {} for r in qdf.collect()}
+    for r in topk(qdf.withColumn("k", F.lit(10)), index).collect():
+        full[r["query_id"]][r["rank"]] = (r["doc_id"], round(r["score"], 6))
+    page = spark.createDataFrame(
+        [(qid, t, 5) for qid, t, _k in
+         ((r["query_id"], r["query_text"], r["k"]) for r in qdf.collect())],
+        "query_id int, query_text string, k int")
+    exact2 = topk(page, index, start=5).collect()
+    for r in exact2:
+        assert 6 <= r["rank"] <= 10
+        assert full[r["query_id"]][r["rank"]] == \
+            (r["doc_id"], round(r["score"], 6))
+    for theta_min in (0, 10**9):
+        wand2 = topk_wand(page, bindex, theta_min_postings=theta_min,
+                          start=5).collect()
+        assert sorted((r["query_id"], r["rank"], r["doc_id"],
+                       round(r["score"], 6)) for r in wand2) == \
+            sorted((r["query_id"], r["rank"], r["doc_id"],
+                    round(r["score"], 6)) for r in exact2), theta_min
