@@ -162,6 +162,21 @@ def q_wand_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "doc_id", F.round("score", 4).alias("score_r"))
 
 
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort= param: q='dup', sort=n_chars desc — field ordering
+    over the posting-matched set, id tiebreak."""
+    from .query.scorer import topk_sorted
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    q = spark.createDataFrame([(1, "dup", 10)],
+                              "query_id int, query_text string, k int")
+    hits = topk_sorted(q, index, docs.select("doc_id", "n_chars"),
+                       sort=[("n_chars", "desc")])
+    return hits.select("doc_id",
+                       F.col("rank").cast("long").alias("rnk"),
+                       F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
     return index.term_stats.orderBy("term")
@@ -1415,6 +1430,7 @@ QUERIES = {
     "wand_topk": q_wand_topk,
     "bm25_page2": q_bm25_page2,
     "wand_page2": q_wand_page2,
+    "sort_by_field": q_sort_by_field,
     "lucene_query": q_lucene_query,
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
@@ -1477,6 +1493,19 @@ ORACLE_SQL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
+    "sort_by_field": f"""
+        WITH m AS (
+          SELECT doc_id, n_chars FROM documents
+          WHERE list_contains({tokenize_sql('text')}, 'dup')
+        ),
+        r AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM m
+        )
+        SELECT doc_id, rnk, n_chars::BIGINT AS n_chars
+        FROM r WHERE rnk <= 10 ORDER BY rnk
+    """,
     "bm25_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
     "wand_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
     "lucene_query": _lucene_sql(),

@@ -96,6 +96,38 @@ def topk(queries: DataFrame, index: InvertedIndex,
             .orderBy("query_id", "rank"))
 
 
+def topk_sorted(queries: DataFrame, index: InvertedIndex,
+                docs: DataFrame, sort: list[tuple[str, str]],
+                default_k: int = 10,
+                tombstones: DataFrame | None = None) -> DataFrame:
+    """Solr ``sort=`` param: rank the matched set by stored FIELDS
+    instead of relevance — e.g. ``sort=[("n_chars", "desc")]``; the
+    pseudo-field ``"score"`` may appear anywhere in the spec (Solr's
+    ``score desc`` form), and doc id always breaks ties. The matched
+    set is still posting-driven (docs holding ≥1 query term); only the
+    ordering changes — the field columns join in AFTER matching, so the
+    postings table never carries stored fields."""
+    scored = score_exact(queries, index)
+    if tombstones is not None:
+        scored = scored.join(F.broadcast(tombstones), index.id_col,
+                             "left_anti")
+    joined = scored.join(docs, index.id_col)
+    order = []
+    for fld, direction in sort:
+        c = (F.round(F.col("score"), SCORE_DECIMALS) if fld == "score"
+             else F.col(fld))
+        order.append(c.desc() if direction.lower() == "desc" else c.asc())
+    order.append(F.col(index.id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    ks = queries.select("query_id", "k")
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(ks), "query_id")
+            .filter(F.col("rank") <= F.coalesce(F.col("k"),
+                                                F.lit(default_k)))
+            .drop("k")
+            .orderBy("query_id", "rank"))
+
+
 def search_with_fields(queries: DataFrame, index: InvertedIndex,
                        docs: DataFrame, fl: list[str]) -> DataFrame:
     """Top-k joined back to stored fields — the reference's ``fl``
