@@ -162,6 +162,19 @@ def q_wand_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "doc_id", F.round("score", 4).alias("score_r"))
 
 
+def q_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fq param: q scores, fq only filters — 'dup' ranked by BM25
+    over docs passing 'lang:en AND n_chars:[150 TO *]'; fq terms add
+    NO score weight."""
+    from .query.qtree import search_tree
+    docs = _docs(spark, sf_dir)
+    index = build_index(docs, id_col="doc_id")
+    hits = search_tree("dup", docs, index, k=10,
+                       fq="lang:en AND n_chars:[150 TO *]")
+    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
+                       F.round("score", 4).alias("score_r"))
+
+
 def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr sort= param: q='dup', sort=n_chars desc — field ordering
     over the posting-matched set, id tiebreak."""
@@ -1431,6 +1444,7 @@ QUERIES = {
     "bm25_page2": q_bm25_page2,
     "wand_page2": q_wand_page2,
     "sort_by_field": q_sort_by_field,
+    "filter_query": q_filter_query,
     "lucene_query": q_lucene_query,
     "lucene_bool_groups": q_lucene_bool_groups,
     "lucene_field_range": q_lucene_field_range,
@@ -1493,6 +1507,11 @@ ORACLE_SQL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
+    "filter_query": _scored_gate_sql(
+        ["dup"],
+        "list_contains(toks, 'dup') AND doc_id IN "
+        "(SELECT doc_id FROM documents "
+        " WHERE lang = 'en' AND n_chars >= 150)"),
     "sort_by_field": f"""
         WITH m AS (
           SELECT doc_id, n_chars FROM documents

@@ -505,7 +505,8 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 pos_postings: DataFrame | None = None,
                 wildcard_top_terms: int | None = None,
                 fuzzy_scored: bool = False,
-                fuzzy_max_expansions: int = 50) -> DataFrame:
+                fuzzy_max_expansions: int = 50,
+                fq: str | None = None) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
 
     score = BM25 over the tree's positive text terms. Wildcards follow
@@ -572,6 +573,12 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                       fuzzy_expansions=fuzzy_exp)
 
     matched = ex.match_ids(tree)
+    if fq:
+        # Solr fq: a filter query restricts the MATCH set and never
+        # contributes to the score (cacheable filter semantics) — its
+        # tree runs through the same executor, then a semi-join
+        matched = matched.join(ex.match_ids(parse_tree(fq)),
+                               id_col, "left_semi")
     weights = positive_weighted_terms(tree) \
         + [(t, 1.0) for t in extra_terms] + fuzzy_weights
     if weights:
