@@ -25,7 +25,13 @@ Grammar (classic Lucene QueryParser subset):
                         BM25 weight (the float-generalized qtf slot)
   term~ / term~1        fuzzy (FuzzyQuery, maxEdits ≤ 2): Levenshtein
                         expansion against the term dictionary,
-                        constant-score rewrite
+                        constant-score rewrite (blended TopTerms
+                        rewrite via fuzzy_scored=True)
+
+search_tree also takes the Solr request params around the q string:
+``fq`` (filter query — restricts matches, never scores) and ``k``
+(rows); paging (start) and field sorting live on the scorer/wand side
+(scorer.topk(start=), topk_wand(start=), scorer.topk_sorted).
 
 Matching semantics per boolean group (Lucene BooleanQuery):
 docs match all MUST clauses, none of the MUST_NOT clauses, and — when
