@@ -1090,6 +1090,30 @@ def q_doc_tfidf(spark, sf_dir):
         .orderBy("term", "doc_id")
 
 
+def q_repetition_signal(spark, sf_dir):
+    """Intra-doc repetition quality signal (Gopher/RefinedWeb-style):
+    fraction of duplicate word bigrams per document."""
+    from .operators.textstats import repetition_signal
+    return repetition_signal(_docs(spark, sf_dir), n=2).orderBy("doc_id")
+
+
+def q_split_by_hash(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashed id (98/1/1) —
+    re-runs land every doc in the same split."""
+    from .operators.textstats import split_by_hash
+    return split_by_hash(_docs(spark, sf_dir)) \
+        .select("doc_id", "split").orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >=1 8-gram with the
+    'benchmark' set (every 97th doc's text) are flagged."""
+    from .operators.textstats import decontaminate
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return decontaminate(d, bench, n=8)
+
+
 def q_lang_id(spark, sf_dir):
     from .operators.textstats import lang_id
     return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -1360,6 +1384,57 @@ ORACLE_SQL_V2 = {
     """,
     "embedding_dedup": _embedding_dedup_lsh_sql(),
     "lang_id": _lang_id_sql(),
+    "repetition_signal": f"""
+        WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks
+                   FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE [] END AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               len(grams)::BIGINT AS n_grams,
+               len(list_distinct(grams))::BIGINT AS n_distinct,
+               round(CASE WHEN len(grams) > 0 THEN
+                 (len(grams) - len(list_distinct(grams)))::DOUBLE
+                 / len(grams) ELSE 0.0 END, 4) AS dup_gram_ratio
+        FROM g ORDER BY doc_id
+    """,
+    "split_by_hash": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 {_md5h_sql("'split:' || doc_id::VARCHAR")} % 100 AS bk
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bk < 1 THEN 'test'
+                    WHEN bk < 99 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM b ORDER BY doc_id
+    """,
+    "decontaminate": f"""
+        WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks
+                   FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 6),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                       || toks[i+5] || ' ' || toks[i+6] || ' '
+                       || toks[i+7]))
+                 ELSE [] END) AS g
+          FROM t
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g))
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+    """,
     "quality_score": f"""
         WITH t AS (
           SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents
@@ -1476,6 +1551,9 @@ QUERIES = {
     "doc_tfidf": q_doc_tfidf,
     "embedding_dedup": q_embedding_dedup,
     "lang_id": q_lang_id,
+    "repetition_signal": q_repetition_signal,
+    "split_by_hash": q_split_by_hash,
+    "decontaminate": q_decontaminate,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,

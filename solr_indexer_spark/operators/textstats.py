@@ -114,3 +114,78 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (tok.withColumn("h", h)
             .groupBy("id").agg(F.expr("bit_xor(h)").alias("fp"))
             .orderBy("id"))
+
+
+def repetition_signal(docs: DataFrame, id_col: str = "doc_id",
+                      n: int = 2) -> DataFrame:
+    """(id, n_grams, n_distinct, dup_gram_ratio) — intra-document
+    repetition: the fraction of word n-grams that are duplicates of an
+    earlier n-gram in the SAME document (the Gopher/RefinedWeb-style
+    repetition quality signal; highly templated/boilerplate docs score
+    high). Pure JVM-side: shingle transform + array_distinct — no
+    shuffle at all (per-row computation)."""
+    from .dedup import shingles_col
+    toks = tokenize_col(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))) \
+        .otherwise(F.array().cast("array<string>"))
+    g = F.size(grams)
+    d = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        g.cast("long").alias("n_grams"),
+        d.cast("long").alias("n_distinct"),
+        F.round(F.when(g > 0, (g - d) / g).otherwise(F.lit(0.0)), 4)
+        .alias("dup_gram_ratio"))
+
+
+def split_by_hash(docs: DataFrame, id_col: str = "doc_id",
+                  weights: dict | None = None,
+                  salt: str = "split") -> DataFrame:
+    """(.., split) — DETERMINISTIC train/val/test assignment by hashed
+    id (never random(): re-runs, retries and late-arriving shards land
+    every doc in the same split — the property a resumable 100 TB
+    pipeline needs). ``weights`` maps split name → integer weight out
+    of their sum; assignment = md5-bucket of (salt:id) modulo total.
+    One narrow projection, no shuffle."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    bucket = F.pmod(md5_hash60(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(total))
+    expr = None
+    acc = 0
+    for name, wt in sorted(weights.items()):
+        cond = bucket < F.lit(acc + wt)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+        acc += wt
+    return docs.withColumn("split", expr)
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", n: int = 8,
+                  bench_text_col: str = "text") -> DataFrame:
+    """(id, contaminated) — benchmark decontamination: a document is
+    contaminated iff it shares ≥1 word n-gram (default 8-gram, the
+    common eval-overlap window) with any benchmark text. The benchmark
+    n-gram set is small by construction (eval suites) → broadcast
+    semi-join against exploded doc n-grams; documents never shuffle."""
+    from .dedup import shingles_col
+    bench_grams = (benchmark
+                   .select(F.explode(shingles_col(
+                       F.col(bench_text_col), n)).alias("g"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col("text"), n)).alias("g"))
+    hit = (doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+           .select(id_col).distinct()
+           .withColumn("contaminated", F.lit(True)))
+    return (docs.select(id_col).join(hit, id_col, "left")
+            .select(id_col,
+                    F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated"))
+            .orderBy(id_col))

@@ -313,3 +313,45 @@ def test_media_header_sniffing(spark):
     got = {r["asset_id"]: r for r in sniff_media_meta(assets).collect()}
     assert got[0]["width"] == 640 and got[2]["height"] == 1080
     assert got[3]["duration_ms"] == 500 and got[4]["format"] is None
+
+
+def test_repetition_split_decontaminate(spark):
+    """r3 curation additions: repetition signal on crafted docs,
+    deterministic hash splits (stable across recomputation, weights
+    approximately honored), decontamination flags exactly the planted
+    8-gram overlap."""
+    from solr_indexer_spark.operators.textstats import (
+        decontaminate, repetition_signal, split_by_hash)
+    d = spark.createDataFrame(
+        [(0, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab → 5 grams 2 distinct
+         (1, "one two three four"),   # all distinct
+         (2, "x")],                   # < n tokens
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in repetition_signal(d, n=2).collect()}
+    assert rep[0]["n_grams"] == 5 and rep[0]["n_distinct"] == 2
+    assert rep[0]["dup_gram_ratio"] == 0.6
+    assert rep[1]["dup_gram_ratio"] == 0.0
+    assert rep[2]["n_grams"] == 0 and rep[2]["dup_gram_ratio"] == 0.0
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    assert s1 == s2                                 # deterministic
+    from collections import Counter
+    c = Counter(s1.values())
+    assert c["train"] > 1800 and 0 < c["val"] < 80 and 0 < c["test"] < 80
+    # different salt → different assignment (salting is real)
+    s3 = {r["doc_id"]: r["split"] for r in
+          split_by_hash(docs, salt="other").collect()}
+    assert s3 != s1
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (1, "totally unrelated words nothing shared here at all ok")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)],
+        "text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(corpus, bench, n=8).collect()}
+    assert got == {0: True, 1: False}
