@@ -1007,6 +1007,17 @@ def q_dedup_ngram_minhash(spark, sf_dir):
     return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pair → cluster resolution: connected components over the
+    minhash dup pairs (min-label propagation); singletons cluster to
+    their own id. Oracle: recursive-CTE transitive closure over the
+    SAME pair derivation."""
+    from .operators.dedup import dedup_clusters, dedup_minhash_lsh
+    d = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(d, n_hashes=16, bands=4, threshold=0.5)
+    return dedup_clusters(pairs, all_ids=d.select("doc_id"))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from .operators.dedup import dedup_minhash_lsh
     return dedup_minhash_lsh(_docs(spark, sf_dir), n_hashes=16, bands=4,
@@ -1191,7 +1202,7 @@ def _shingle_sql(text_expr: str, n: int = 3) -> str:
             f"FROM (SELECT {tok} AS toks) _sh)")
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(final: str | None = None, recursive: bool = False) -> str:
     from .operators.dedup import MERSENNE, _minhash_params
     p = MERSENNE
     sig_exprs = ", ".join(
@@ -1225,8 +1236,8 @@ verified AS (
            / len(list_distinct(ta.tokset || tb.tokset)) AS j
   FROM cands c JOIN tok ta ON ta.id = c.a JOIN tok tb ON tb.id = c.b
 )
-SELECT a, b, round(j, 4) AS j_r4 FROM verified WHERE j >= 0.5 ORDER BY a, b
-"""
+{final or "SELECT a, b, round(j, 4) AS j_r4 FROM verified WHERE j >= 0.5 ORDER BY a, b"}
+""".replace("WITH tok", "WITH RECURSIVE tok" if recursive else "WITH tok")
 
 
 def _simhash_sql() -> str:
@@ -1362,6 +1373,18 @@ ORACLE_SQL_V2 = {
         ORDER BY a, b
     """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _minhash_sql(recursive=True, final="""
+, pr AS (SELECT a, b FROM verified WHERE j >= 0.5),
+edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+reach AS (
+  SELECT x AS id, y AS r FROM edges
+  UNION
+  SELECT reach.id, edges.y FROM reach JOIN edges ON reach.r = edges.x
+),
+comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+ORDER BY d.doc_id"""),
     "dedup_ngram_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": f"""
@@ -1544,6 +1567,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_minhash": q_dedup_ngram_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

@@ -300,3 +300,53 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("hd") <= max_hd)
             .select("a", "b", "hd")
             .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# Pair → cluster resolution: the operator every dedup consumer actually
+# needs (keep one doc per near-dup CLUSTER, not per pair).
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
+                   id_col: str = "doc_id",
+                   max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id) — connected components over (a, b) dup pairs;
+    cluster_id = the component's minimum id (so 'keep the cluster min,
+    drop the rest' is a filter). Iterative min-label propagation:
+    each round every node takes min(own, neighbors') label; converges
+    in O(component diameter) rounds — near-dup clusters are cliquish,
+    so 2-4 rounds in practice. Each round is one join + map-side-
+    combinable min aggregate; lineage is cut per round
+    (localCheckpoint) so the plan stays flat at any iteration count.
+
+    ``all_ids`` (1-column frame) adds singleton docs (cluster = own
+    id); omit it to label only docs that appear in a pair."""
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")) \
+        .unionByName(pairs.select(F.col("b").alias("x"),
+                                  F.col("a").alias("y"))) \
+        .distinct().localCheckpoint()
+    labels = edges.select(F.col("x").alias("id")).distinct() \
+        .withColumn("lbl", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("y"), "lbl"),
+                          "y")
+               .groupBy("x").agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(nbr.withColumnRenamed("x", "id"), "id", "left")
+               .select("id", F.least(F.col("lbl"),
+                                     F.coalesce("nlbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col),
+                        F.col("lbl").alias("cluster_id"))
+    if all_ids is not None:
+        out = (all_ids.select(F.col(id_col)).distinct()
+               .join(out, id_col, "left")
+               .select(id_col,
+                       F.coalesce("cluster_id", F.col(id_col))
+                       .alias("cluster_id")))
+    return out.orderBy(id_col)

@@ -355,3 +355,16 @@ def test_repetition_split_decontaminate(spark):
     got = {r["doc_id"]: r["contaminated"]
            for r in decontaminate(corpus, bench, n=8).collect()}
     assert got == {0: True, 1: False}
+
+
+def test_dedup_clusters_chain(spark):
+    """Connected components: a chain a-b, b-c collapses to one cluster
+    labeled by the min id; singletons keep their own id."""
+    from solr_indexer_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(2, 7, 0.9), (7, 9, 0.8), (20, 21, 0.7)], "a long, b long, j_r4 double")
+    ids = spark.createDataFrame([(i,) for i in (2, 7, 9, 20, 21, 99)],
+                                "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, all_ids=ids).collect()}
+    assert got == {2: 2, 7: 2, 9: 2, 20: 20, 21: 20, 99: 99}
