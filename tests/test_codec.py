@@ -163,3 +163,31 @@ def test_pfor_fuzz_roundtrip():
                 rng.integers(2 ** 10, 2 ** 40, size=k).astype(np.uint64)
         blob = _pack_streams(vals, np.array([0]), np.array([n]))[0]
         assert np.array_equal(decode_stream(blob), vals)
+
+
+def test_codec_roundtrip_property():
+    """Property-fuzzed round-trip over the tagged dual codec (VB / FOR
+    / exact-sweep PFOR): arbitrary non-negative value streams and block
+    boundaries decode back bit-exact — the invariant every posting and
+    position list rides on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from solr_indexer_spark.index.codec import _pack_streams, decode_stream
+
+    @given(st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**40),
+                 min_size=1, max_size=200),
+        min_size=1, max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def check(blocks):
+        values = np.array([v for b in blocks for v in b], np.uint64)
+        lens = np.array([len(b) for b in blocks], np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        blobs = _pack_streams(values, starts, ends)
+        for i, b in enumerate(blocks):
+            got = decode_stream(bytes(blobs[i]))
+            assert got.tolist() == b, (i, blobs[i][:1])
+
+    check()

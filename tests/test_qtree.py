@@ -316,3 +316,29 @@ def test_phrase_suffix_combinations(spark, corpus):
           phrase_match_positions(pos, ["big", "data"], slop=1).collect()}
     assert {r["doc_id"] for r in neg} == \
         {r["doc_id"] for r in only} - ph
+
+
+def test_parser_never_raises_on_arbitrary_strings():
+    """The reference forwards FREE q strings verbatim
+    (search.py:125-140) — the parser must accept anything typed at it:
+    property-fuzzed over printable garbage, unbalanced parens, stray
+    operators, dangling quotes/suffixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    alphabet = st.sampled_from(list(
+        'abz019 ()[]{}"~^+-*?:ANDORT\\/.\t'))
+
+    @given(st.text(alphabet=alphabet, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        g = parse_tree(q)                  # must not raise
+        # every clause is a known node type with a known modifier
+        def walk(grp):
+            for mod, node in grp.clauses:
+                assert mod in ("SHOULD", "MUST", "MUST_NOT")
+                if isinstance(node, GroupN):
+                    walk(node)
+        walk(g)
+        positive_terms(g)                  # weight extraction too
+
+    check()
