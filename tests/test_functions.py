@@ -348,3 +348,57 @@ def test_gml_to_wkt():
     # GML2 coordinates are x,y (lon-lat); unclosed ring gets closed
     assert parse_gml_polygon(gml2) == \
         "POLYGON ((10 60, 12 60, 12 62, 10 62, 10 60))"
+
+
+def test_wkt_any_roundtrip_property():
+    """Property-fuzzed WKT round-trip: serialize(parse(x)) is a fixed
+    point for every kind the general layer supports (point/linestring/
+    polygon+holes and the MULTI* family)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from solr_indexer_spark.functions.geometry import (
+        parse_wkt_any, to_wkt_any)
+
+    coord = st.integers(min_value=-179, max_value=179)
+    pt = st.tuples(coord, coord)
+
+    def ring():
+        return st.lists(pt, min_size=3, max_size=6).map(
+            lambda ps: ps + [ps[0]])
+
+    def wkt_strategy():
+        return st.one_of(
+            pt.map(lambda p: f"POINT ({p[0]} {p[1]})"),
+            st.lists(pt, min_size=2, max_size=6).map(
+                lambda ps: "LINESTRING (" + ", ".join(
+                    f"{x} {y}" for x, y in ps) + ")"),
+            st.lists(ring(), min_size=1, max_size=3).map(
+                lambda rs: "POLYGON (" + ", ".join(
+                    "(" + ", ".join(f"{x} {y}" for x, y in r) + ")"
+                    for r in rs) + ")"),
+            st.lists(pt, min_size=1, max_size=4).map(
+                lambda ps: "MULTIPOINT (" + ", ".join(
+                    f"({x} {y})" for x, y in ps) + ")"),
+            st.lists(st.lists(pt, min_size=2, max_size=4),
+                     min_size=1, max_size=3).map(
+                lambda ls: "MULTILINESTRING (" + ", ".join(
+                    "(" + ", ".join(f"{x} {y}" for x, y in l) + ")"
+                    for l in ls) + ")"),
+            st.lists(st.lists(ring(), min_size=1, max_size=2),
+                     min_size=1, max_size=2).map(
+                lambda polys: "MULTIPOLYGON (" + ", ".join(
+                    "(" + ", ".join(
+                        "(" + ", ".join(f"{x} {y}" for x, y in r) + ")"
+                        for r in p) + ")" for p in polys) + ")"),
+        )
+
+    @given(wkt_strategy().flatmap(lambda s: st.just(s)))
+    @settings(max_examples=200, deadline=None)
+    def check(w):
+        kind, data = parse_wkt_any(w)
+        out = to_wkt_any(kind, data)
+        assert out == w
+        # idempotent: parse(serialize(parse(x))) == parse(x)
+        assert parse_wkt_any(out) == (kind, data)
+
+    check()
