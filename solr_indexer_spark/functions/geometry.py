@@ -356,13 +356,31 @@ def wkt_centroid(wkt: str) -> str:
 def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
     """solrindexer/spatial.py:243-267 validate_fix_geometry →
     (wkt, problem). The reference tries the GEOS buffer(0)+simplify
-    trick and, WHEN THE REPAIR FAILS, logs the error and returns the
-    original WKT. No GEOS kernel exists in this container, so repair
-    always takes the reference's failure path: the original WKT comes
-    back unchanged and ``problem`` carries the explain-validity message
-    for the run_log ledger (the reference logs-and-continues; callers
-    route ``problem`` rows to the ledger via
-    :func:`route_invalid_geometries`). Valid input → (wkt, None)."""
+    trick, and on failure logs the error and returns the original WKT.
+
+    r4 (VERDICT r3 #8): the most common invalidity — a hole-free
+    polygon whose exterior ring crosses itself exactly ONCE (the
+    bowtie / figure-eight) — is now repaired the way GEOS buffer(0)
+    repairs it: split at the crossing into two lobes and keep the lobe
+    with positive (CCW) winding, discarding the negative one (GEOS's
+    winding-number rule for opposite-winding figure-eights; e.g.
+    shapely ``Polygon([(0,0),(2,2),(2,0),(0,2)]).buffer(0)`` →
+    ``POLYGON ((0 0, 1 1, 0 2, 0 0))`` — the CCW lobe, which
+    :func:`repair_bowtie_ring` reproduces up to ring starting point).
+    Successful repair → (repaired_wkt, None), matching the reference's
+    fixed-successfully return. Known deviation: the reference's
+    trailing ``.simplify(1)`` is not applied (a no-op on the triangle
+    lobes the single-crossing split produces most of the time, but a
+    large repaired lobe with near-collinear vertices would be thinned
+    by GEOS).
+
+    Every HARDER invalidity (multiple crossings, same-winding lobes,
+    holes present, MULTIPOLYGON members) still takes the reference's
+    repair-FAILED path: the original WKT comes back unchanged and
+    ``problem`` carries the explain-validity message for the run_log
+    ledger (the reference logs-and-continues; callers route ``problem``
+    rows via :func:`route_invalid_geometries`). Valid input →
+    (wkt, None)."""
     kind, data = parse_wkt_any(wkt)       # parse = the validity probe
     rings = []
     if kind == "polygon":
@@ -371,7 +389,11 @@ def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
         rings = [r for p in data for r in p]
     for ring in rings:
         if _ring_self_intersects(ring):
-            return wkt, "Self-intersection (no GEOS kernel: returning " \
+            if kind == "polygon" and len(data) == 1:
+                kept = repair_bowtie_ring(data[0])
+                if kept is not None:
+                    return to_wkt_any("polygon", [kept]), None
+            return wkt, "Self-intersection (repair failed: returning " \
                         "original geometry, reference repair-failed path)"
     return wkt, None
 
@@ -392,6 +414,59 @@ def _ring_self_intersects(coords: list) -> bool:
             if _seg_intersect(a, b, c, d):
                 return True
     return False
+
+
+def _seg_cross_point(p1, p2, p3, p4):
+    """Proper-crossing point of open segments p1p2 × p3p4, else None."""
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (p4[0] - p3[0], p4[1] - p3[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if den == 0:
+        return None                           # parallel / collinear
+    t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / den
+    u = ((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / den
+    if 0 < t < 1 and 0 < u < 1:
+        return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+    return None
+
+
+def _signed_area(ring: list) -> float:
+    pts = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
+    return sum(x1 * y2 - x2 * y1
+               for (x1, y1), (x2, y2) in zip(pts, pts[1:] + [pts[0]])) / 2
+
+
+def repair_bowtie_ring(coords: list) -> list | None:
+    """Minimal GEOS-buffer(0)-equivalent repair: a closed ring with
+    exactly ONE proper self-crossing splits at the crossing point into
+    two lobes; when the lobes wind in opposite directions (the bowtie),
+    buffer(0) keeps the positive-winding (CCW) lobe and drops the
+    negative one — return that lobe as a closed ring starting at the
+    crossing point. Any harder case (≠1 crossing, same-winding lobes —
+    e.g. a double-wrapped loop, where buffer(0) would UNION) → None,
+    and the caller takes the reference's repair-failed pass-through."""
+    edges = list(zip(coords, coords[1:]))
+    crossings = []
+    for i in range(len(edges)):
+        for j in range(i + 2, len(edges)):
+            if i == 0 and j == len(edges) - 1:
+                continue                      # closing-edge adjacency
+            p = _seg_cross_point(edges[i][0], edges[i][1],
+                                 edges[j][0], edges[j][1])
+            if p is not None:
+                crossings.append((i, j, p))
+                if len(crossings) > 1:
+                    return None
+    if len(crossings) != 1:
+        return None
+    i, j, p = crossings[0]
+    body = coords[:-1] if coords[0] == coords[-1] else coords
+    lobe1 = [p] + body[i + 1:j + 1] + [p]
+    lobe2 = [p] + body[j + 1:] + body[:i + 1] + [p]
+    a1, a2 = _signed_area(lobe1), _signed_area(lobe2)
+    if a1 == 0 or a2 == 0 or (a1 > 0) == (a2 > 0):
+        return None                           # not the opposite-winding bowtie
+    return lobe1 if a1 > 0 else lobe2
 
 
 # ---- Arrow-batched Spark surface ------------------------------------------

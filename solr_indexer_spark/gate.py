@@ -676,19 +676,28 @@ def q_lucene_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lucene_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blended fuzzy rewrite (Lucene FuzzyQuery's actual default,
-    TopTermsBlendedFreqScoringRewrite): 'part~2' expands against the
-    term dictionary; expanded terms match AND score with boost
-    1 − ed/min(|q|,|t|)."""
+    TopTermsBlendedFreqScoringRewrite): 'part~1' expands against the
+    term dictionary; expanded terms match AND score with weight
+    boost × (1 − ed/min(|q|,|t|)). The 'part part~1^2' shape pins the
+    two r4 fidelity rules: the fuzzy ^2 boost multiplies every blended
+    weight (ADVICE r3), and the expansion that COINCIDES with the
+    explicit 'part' term blends MAX-wise, never additively
+    (VERDICT r3 #5)."""
     from .query.qtree import search_tree
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
-    hits = search_tree("part~2 AND dup", docs, index, k=10,
+    hits = search_tree("part part~1^2 AND dup", docs, index, k=10,
                        fuzzy_scored=True)
     return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
                        F.round("score", 4).alias("score_r"))
 
 
 def _fuzzy_scored_sql() -> str:
+    # oracle for 'part part~1^2 AND dup': the ^2 boost multiplies the
+    # blend 1 − ed/min(|q|,|t|); the explicit 'part' (weight 1.0) and
+    # the fuzzy expansion of 'part' (weight 2.0) blend MAX-wise —
+    # Lucene's blended-rewrite duplicate-term rule; 'dup' stays an
+    # independent additive clause
     tok = tokenize_sql("text")
     return f"""
 WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
@@ -699,17 +708,18 @@ tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 expanded AS (
   SELECT term,
-         1.0 - levenshtein(term, 'part')::DOUBLE
-               / least(length(term), 4) AS qw
+         (1.0 - levenshtein(term, 'part')::DOUBLE
+                / least(length(term), 4)) * 2.0 AS qw
   FROM df
-  WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
+  WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'part') <= 1
   ORDER BY df DESC, term ASC LIMIT 50
 ),
 qt AS (
-  SELECT term, sum(qw) AS qw FROM (
+  SELECT term, max(qw) AS qw FROM (
     SELECT term, qw FROM expanded
-    UNION ALL SELECT 'dup' AS term, 1.0 AS qw
+    UNION ALL SELECT 'part' AS term, 1.0 AS qw
   ) GROUP BY term
+  UNION ALL SELECT 'dup' AS term, 1.0 AS qw
 ),
 gated AS (
   SELECT DISTINCT tf.doc_id
@@ -1004,7 +1014,8 @@ def q_dedup_ngram_minhash(spark, sf_dir):
     # the DEFAULT (bounded, web-scale) path: banded-MinHash candidates +
     # exact-Jaccard verify; oracle replicates the banding bit-for-bit
     from .operators.dedup import dedup_ngram_jaccard
-    return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5,
+                               max_bucket=None)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1014,14 +1025,15 @@ def q_dedup_clusters(spark, sf_dir):
     SAME pair derivation."""
     from .operators.dedup import dedup_clusters, dedup_minhash_lsh
     d = _docs(spark, sf_dir)
-    pairs = dedup_minhash_lsh(d, n_hashes=16, bands=4, threshold=0.5)
+    pairs = dedup_minhash_lsh(d, n_hashes=16, bands=4, threshold=0.5,
+                              max_bucket=None)
     return dedup_clusters(pairs, all_ids=d.select("doc_id"))
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     from .operators.dedup import dedup_minhash_lsh
     return dedup_minhash_lsh(_docs(spark, sf_dir), n_hashes=16, bands=4,
-                             threshold=0.5)
+                             threshold=0.5, max_bucket=None)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1080,10 +1092,12 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     recall-vs-brute + compression asserted in tests/test_operators.py."""
     import tempfile
     from .operators.similarity import (ann_ivf_pq_topk, ivf_pq_store,
-                                       kmeans_centroids, pq_train)
+                                       kmeans_centroids, pq_train,
+                                       training_sample)
     vecs = _embs(spark, sf_dir)
-    C = kmeans_centroids(vecs, nlist=16)
-    books = pq_train(vecs, C, m=8)
+    X = training_sample(vecs)          # ONE sample job for both trainers
+    C = kmeans_centroids(vecs, nlist=16, sample=X)
+    books = pq_train(vecs, C, m=8, sample=X)
     path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/store"
     ivf_pq_store(vecs, C, books, path)
     qs = vecs.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)) \
@@ -1536,6 +1550,106 @@ ORDER BY d.doc_id"""),
     """,
 }
 
+# ---------------------------------------------------------------------------
+# Consolidated gates (VERDICT r3 ask #1): the driver oracle-verifies only
+# the FIRST 50 ``queries()`` entries per round, so the singleton scalar /
+# point-op gates are merged into combined projections whose oracle checks
+# every constituent column at once. Each constituent keeps its own
+# q_ function (and unit tests); the merged gate joins/unions them so the
+# whole registry fits inside the verification window EVERY round.
+# ---------------------------------------------------------------------------
+
+def q_scalars_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc scalar projections combined on doc_id: P9 id-normalize,
+    P13 DOI extract, sentinel product split, NBS thumbnail regex,
+    compact-JSON serialize, try_cast silent skip."""
+    out = None
+    for part in (q_id_normalize, q_doi_extract, q_sentinel_split,
+                 q_nbs_thumbnail, q_json_compact, q_try_cast_skip):
+        df = part(spark, sf_dir)
+        out = df if out is None else out.join(df, "doc_id")
+    return out.orderBy("doc_id")
+
+
+def q_scalars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event scalar projections combined on event_id: P7 date
+    normalization + DateRangeField '[start TO end]' composition."""
+    return (q_date_normalize(spark, sf_dir)
+            .join(q_date_range_strings(spark, sf_dir), "event_id")
+            .orderBy("event_id"))
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-analysis signals combined on doc_id: language ID,
+    quality score, token counts, repetition signal, fingerprint."""
+    out = (q_lang_id(spark, sf_dir)
+           .join(q_quality_score(spark, sf_dir), "doc_id")
+           .join(q_token_count(spark, sf_dir)
+                 .withColumnRenamed("n_tokens", "n_tokens_tc"), "doc_id")
+           .join(q_repetition_signal(spark, sf_dir), "doc_id")
+           .join(q_doc_fingerprint(spark, sf_dir)
+                 .withColumnRenamed("id", "doc_id"), "doc_id"))
+    return out.orderBy("doc_id")
+
+
+def q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation flags combined on doc_id: deterministic
+    split assignment + benchmark decontamination."""
+    return (q_split_by_hash(spark, sf_dir)
+            .join(q_decontaminate(spark, sf_dir), "doc_id")
+            .orderBy("doc_id"))
+
+
+def q_phrase_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three retrieval algorithms unioned under a label: direct-scan
+    phrase match, positional-index phrase match (must agree with the
+    scan), and posting-list boolean AND intersection."""
+    scan = q_phrase_match(spark, sf_dir) \
+        .select(F.lit("scan").alias("gate"), "doc_id")
+    pos = q_phrase_via_positions(spark, sf_dir) \
+        .select(F.lit("positions").alias("gate"), "doc_id")
+    band = q_boolean_and(spark, sf_dir) \
+        .select(F.lit("bool_and").alias("gate"), "doc_id")
+    return scan.unionByName(pos).unionByName(band).orderBy("gate", "doc_id")
+
+
+def q_parent_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity ops unioned under a label: J2 unresolved
+    parent refs (anti join) + J3 atomic is_parent flag update."""
+    unres = q_parent_unresolved(spark, sf_dir).select(
+        F.lit("unresolved").alias("kind"),
+        F.col("parent_id").alias("id"),
+        F.lit(None).cast("int").alias("is_parent"))
+    flags = q_parent_flag_update(spark, sf_dir).select(
+        F.lit("flag").alias("kind"), F.col("doc_id").alias("id"),
+        "is_parent")
+    return unres.unionByName(flags).orderBy("kind", "id")
+
+
+def q_facet_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 facet counts + S7 delete-by-query in one aggregation:
+    per (lang, source) the total count and the count remaining after
+    deleting docs matching q='dup'."""
+    d = _docs(spark, sf_dir)
+    kept = F.when(~F.array_contains(tokenize_col("text"), "dup"), 1)
+    return (d.groupBy("lang", "source")
+            .agg(F.count("*").alias("n"), F.count(kept).alias("remaining"))
+            .orderBy("lang", "source"))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both n-gram Jaccard candidate paths in one gate, full-outer
+    joined on the pair so a divergence in EITHER direction changes the
+    row count: the recall-complete shared-shingle oracle mode (j_r4)
+    and the default banded-MinHash web-scale mode (j_mh_r4)."""
+    ja = q_dedup_ngram_jaccard(spark, sf_dir)
+    mh = q_dedup_ngram_minhash(spark, sf_dir) \
+        .withColumnRenamed("j_r4", "j_mh_r4")
+    return ja.join(mh, ["a", "b"], "full_outer").orderBy("a", "b")
+
+
+# ≤50 entries so the driver's CORRECTNESS window verifies EVERY gate
+# EVERY round (the driver evaluates only the first 50).
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
@@ -1553,19 +1667,22 @@ QUERIES = {
     "lucene_fuzzy": q_lucene_fuzzy,
     "lucene_fuzzy_scored": q_lucene_fuzzy_scored,
     "raw_doc_fl": q_raw_doc_fl,
+    "phrase_ops": q_phrase_ops,
+    "realtime_get": q_realtime_get,
+    "parent_ops": q_parent_ops,
+    "facet_delete": q_facet_delete,
+    "facet_on_hits": q_facet_on_hits,
     "schema_validate": q_schema_validate,
+    "schema_validate_ledger": q_schema_validate_ledger,
+    "validation_ledger": q_validation_ledger,
+    "scalars_docs": q_scalars_docs,
+    "scalars_events": q_scalars_events,
+    "temporal_filter": q_temporal_filter,
     "wkt_segmentize": q_wkt_segmentize,
     "wkt_multi_family": q_wkt_multi_family,
-    "schema_validate_ledger": q_schema_validate_ledger,
-    "sentinel_split": q_sentinel_split,
-    "nbs_thumbnail": q_nbs_thumbnail,
-    "json_compact": q_json_compact,
-    "facet_on_hits": q_facet_on_hits,
     "json_projection": q_json_projection,
-    "try_cast_skip": q_try_cast_skip,
     "dedup_exact_norm": q_dedup_exact_norm,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_ngram_minhash": q_dedup_ngram_minhash,
+    "dedup_ngram": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -1574,38 +1691,21 @@ QUERIES = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "doc_tfidf": q_doc_tfidf,
     "embedding_dedup": q_embedding_dedup,
-    "lang_id": q_lang_id,
-    "repetition_signal": q_repetition_signal,
-    "split_by_hash": q_split_by_hash,
-    "decontaminate": q_decontaminate,
-    "quality_score": q_quality_score,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
+    "text_signals": q_text_signals,
+    "curation_flags": q_curation_flags,
     "payload_meta": q_payload_meta,
     "windowed_agg_events": q_windowed_agg_events,
     "sessionize_events": q_sessionize_events,
     "term_stats": q_term_stats,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
-    "facet_lang_source": q_facet_lang_source,
-    "validation_ledger": q_validation_ledger,
-    "id_normalize": q_id_normalize,
-    "date_normalize": q_date_normalize,
-    "doi_extract": q_doi_extract,
-    "temporal_filter": q_temporal_filter,
-    "date_range_strings": q_date_range_strings,
-    "realtime_get": q_realtime_get,
-    "delete_by_query": q_delete_by_query,
-    "parent_unresolved": q_parent_unresolved,
-    "parent_flag_update": q_parent_flag_update,
-    "phrase_match": q_phrase_match,
-    "phrase_via_positions": q_phrase_via_positions,
-    "boolean_and": q_boolean_and,
 }
 
 _TOK = tokenize_sql("text")
 
-ORACLE_SQL = {
+# every constituent's oracle SQL (merged-gate oracles are composed from
+# these below; only keys present in QUERIES are exported)
+_SQL_ALL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
@@ -1982,3 +2082,81 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
 }
+
+
+def _sub(name: str) -> str:
+    """Constituent oracle as a parenthesized table subquery."""
+    return "(" + _SQL_ALL[name].strip().rstrip(";") + ")"
+
+
+# merged-gate oracles: composed from the SAME constituent derivations
+# the singleton gates used, so each column keeps its independent oracle
+_SQL_ALL["scalars_docs"] = f"""
+    SELECT * FROM {_sub('id_normalize')} a
+    JOIN {_sub('doi_extract')} b USING (doc_id)
+    JOIN {_sub('sentinel_split')} c USING (doc_id)
+    JOIN {_sub('nbs_thumbnail')} d USING (doc_id)
+    JOIN {_sub('json_compact')} e USING (doc_id)
+    JOIN {_sub('try_cast_skip')} f USING (doc_id)
+    ORDER BY doc_id
+"""
+
+_SQL_ALL["scalars_events"] = f"""
+    SELECT * FROM {_sub('date_normalize')} a
+    JOIN {_sub('date_range_strings')} b USING (event_id)
+    ORDER BY event_id
+"""
+
+_SQL_ALL["text_signals"] = f"""
+    SELECT * FROM {_sub('lang_id')} a
+    JOIN {_sub('quality_score')} b USING (doc_id)
+    JOIN (SELECT doc_id, n_tokens AS n_tokens_tc, n_ws_words,
+                 n_chars_text FROM {_sub('token_count')} t0) c
+      USING (doc_id)
+    JOIN {_sub('repetition_signal')} d USING (doc_id)
+    JOIN (SELECT id AS doc_id, fp FROM {_sub('doc_fingerprint')} t1) e
+      USING (doc_id)
+    ORDER BY doc_id
+"""
+
+_SQL_ALL["curation_flags"] = f"""
+    SELECT * FROM {_sub('split_by_hash')} a
+    JOIN {_sub('decontaminate')} b USING (doc_id)
+    ORDER BY doc_id
+"""
+
+_SQL_ALL["phrase_ops"] = f"""
+    SELECT 'scan' AS gate, doc_id FROM {_sub('phrase_match')} a
+    UNION ALL
+    SELECT 'positions', doc_id FROM {_sub('phrase_via_positions')} b
+    UNION ALL
+    SELECT 'bool_and', doc_id FROM {_sub('boolean_and')} c
+    ORDER BY gate, doc_id
+"""
+
+_SQL_ALL["parent_ops"] = f"""
+    SELECT 'unresolved' AS kind, parent_id AS id,
+           NULL::INTEGER AS is_parent
+    FROM {_sub('parent_unresolved')} a
+    UNION ALL
+    SELECT 'flag', doc_id, is_parent FROM {_sub('parent_flag_update')} b
+    ORDER BY kind, id
+"""
+
+_SQL_ALL["facet_delete"] = f"""
+    SELECT lang, source, count(*) AS n,
+           count(*) FILTER (WHERE NOT list_contains({_TOK}, 'dup'))
+             AS remaining
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+_SQL_ALL["dedup_ngram"] = f"""
+    SELECT coalesce(x.a, y.a) AS a, coalesce(x.b, y.b) AS b,
+           x.j_r4, y.j_r4 AS j_mh_r4
+    FROM {_sub('dedup_ngram_jaccard')} x
+    FULL JOIN {_sub('dedup_ngram_minhash')} y
+      ON x.a = y.a AND x.b = y.b
+    ORDER BY 1, 2
+"""
+
+ORACLE_SQL = {k: _SQL_ALL[k] for k in QUERIES if k in _SQL_ALL}

@@ -10,9 +10,13 @@ decoder in changes one inner function, not the pipeline.
 
 Scale notes: payloads ride in their own column so column pruning keeps
 metadata-only queries from ever reading bytes; decode stages are
-``mapInPandas`` (streaming batches, bounded memory) and should run on
-payload-size-balanced partitions (``repartitionByRange(octet_length)``)
-to avoid stragglers from a few huge blobs.
+``mapInPandas`` (streaming batches, bounded memory) and run on
+hash-of-asset_id partitions: a uniform key spreads the heavy payloads
+in expectation. (Range-partitioning on payload size — the r1-r3
+approach — CONCENTRATES all the largest blobs into one partition, the
+opposite of balancing: ADVICE r3. A size-desc round-robin stripe would
+balance bytes exactly but needs a global sort, which is its own
+bottleneck at scale.)
 """
 
 from __future__ import annotations
@@ -88,8 +92,8 @@ def decode_image_meta(assets: DataFrame, use_stub: bool = True) -> DataFrame:
                 "n_channels": pd.array(c, dtype="Int32"),
             })
 
-    balanced = assets.repartitionByRange(
-        max(assets.rdd.getNumPartitions(), 1), F.col("payload_bytes"))
+    balanced = assets.repartition(
+        max(assets.rdd.getNumPartitions(), 1), F.col("asset_id"))
     return balanced.select("asset_id", "payload").mapInPandas(
         gen, schema=IMAGE_META_SCHEMA)
 
@@ -176,9 +180,9 @@ def sniff_media_meta_py(b: bytes) -> dict:
 
 
 def sniff_media_meta(assets: DataFrame) -> DataFrame:
-    """mapInPandas header-sniff stage over payload-balanced partitions;
-    payload column pruned after use (metadata-only consumers never
-    shuffle bytes)."""
+    """mapInPandas header-sniff stage over hash-of-asset_id partitions
+    (uniform key → payload bytes spread in expectation); payload column
+    pruned after use (metadata-only consumers never shuffle bytes)."""
     def gen(it):
         for pdf in it:
             metas = [sniff_media_meta_py(p) for p in pdf["payload"]]
@@ -197,8 +201,8 @@ def sniff_media_meta(assets: DataFrame) -> DataFrame:
                                         dtype="Int64"),
             })
 
-    balanced = assets.repartitionByRange(
-        max(assets.rdd.getNumPartitions(), 1), F.col("payload_bytes"))
+    balanced = assets.repartition(
+        max(assets.rdd.getNumPartitions(), 1), F.col("asset_id"))
     return balanced.select("asset_id", "payload").mapInPandas(
         gen, schema=MEDIA_META_SCHEMA)
 

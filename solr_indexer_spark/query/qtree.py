@@ -82,6 +82,7 @@ class PhraseN:
 class FuzzyN:
     t: str              # term~ / term~1 — Levenshtein expansion against
     max_edits: int = 2  # the term dictionary (Lucene default maxEdits=2)
+    boost: float = 1.0  # term~1^w — multiplies every blended weight
 
 
 @dataclass
@@ -184,7 +185,8 @@ def _word_clause(word: str):
             edits = int(mf.group(2)) if mf.group(2) else 2
             if edits == 0:
                 return (mod, TermN(toks[0], boost=boost))
-            return (mod, FuzzyN(toks[0], max_edits=min(edits, 2)))
+            return (mod, FuzzyN(toks[0], max_edits=min(edits, 2),
+                                boost=boost))
     toks = tokenize_py(word)
     if not toks:
         return None
@@ -552,10 +554,9 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     # expanded terms MATCH and SCORE with boost 1 − ed/min(|q|,|t|)
     # (FuzzyTermsEnum's boost). Default off = constant-score rewrite.
     fuzzy_exp = None
-    fuzzy_weights: list[tuple[str, float]] = []
+    fuzzy_blend: dict[str, float] = {}
     if fuzzy_scored:
         fuzzy_exp = {}
-        pos_fuzzies = {(n.t, n.max_edits) for n in _fuzzies(tree, True)}
         for node in _fuzzies(tree):
             key = (node.t, node.max_edits)
             if key in fuzzy_exp:
@@ -568,12 +569,15 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                     .select("term", "df")
                     .orderBy(F.col("df").desc(), F.col("term").asc())
                     .limit(fuzzy_max_expansions).collect())
-            fuzzy_exp[key] = [r["term"] for r in rows]
-            if key in pos_fuzzies:
-                for r in rows:
-                    ed = _levenshtein_py(node.t, r["term"])
-                    blend = 1.0 - ed / min(len(node.t), len(r["term"]))
-                    fuzzy_weights.append((r["term"], blend))
+            fuzzy_exp[key] = [(r["term"]) for r in rows]
+        # blended weights: boost × (1 − ed/min len) per positive fuzzy
+        # node; a term reached by several fuzzies blends MAX-wise
+        # (Lucene's blended rewrite never adds duplicate-term weights)
+        for node in _fuzzies(tree, True):
+            for t in fuzzy_exp[(node.t, node.max_edits)]:
+                ed = _levenshtein_py(node.t, t)
+                blend = (1.0 - ed / min(len(node.t), len(t))) * node.boost
+                fuzzy_blend[t] = max(fuzzy_blend.get(t, 0.0), blend)
     ex = TreeExecutor(index, docs, pos_postings,
                       wildcard_expansions=expansions,
                       fuzzy_expansions=fuzzy_exp)
@@ -585,8 +589,17 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
         # tree runs through the same executor, then a semi-join
         matched = matched.join(ex.match_ids(parse_tree(fq)),
                                id_col, "left_semi")
-    weights = positive_weighted_terms(tree) \
-        + [(t, 1.0) for t in extra_terms] + fuzzy_weights
+    # explicit terms keep additive qtf semantics (term^w boosts sum);
+    # a fuzzy expansion that COINCIDES with an explicit query term (the
+    # 'term term~1' shape) blends max-wise, never additively — Lucene's
+    # TopTermsBlendedFreqScoringRewrite duplicate-term rule
+    agg: dict[str, float] = {}
+    for t, w in positive_weighted_terms(tree) \
+            + [(t, 1.0) for t in extra_terms]:
+        agg[t] = agg.get(t, 0.0) + float(w)
+    for t, w in fuzzy_blend.items():
+        agg[t] = max(agg.get(t, 0.0), w)
+    weights = sorted(agg.items())
     if weights:
         scores = score_weighted(weights, index)
         scored = matched.join(scores, id_col, "left") \

@@ -123,6 +123,17 @@ def _score_blocks_tfdl_map(it):
             })
 
 
+def terms_hash(counts) -> str:
+    """Canonical hash of a query's term multiset ({term: qtf}) —
+    ThetaCache entries carry it so a REUSED query id whose text changed
+    never matches a stale entry (VERDICT r3 #6). The carried bound
+    would still be sound for any query containing the carried term,
+    but freshness-by-content keeps the cache semantics obvious."""
+    import hashlib
+    canon = ",".join(f"{t}:{n}" for t, n in sorted(counts.items()))
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
+
+
 class ThetaCache:
     """Multi-segment θ carry-over (NEXT r2 #7 / VERDICT r2 #7).
 
@@ -144,33 +155,112 @@ class ThetaCache:
     tombstone table — never a tombstone collect): killed docs drop out
     and the k-th surviving partial still bounds; fewer than k survivors
     falls back to pass A. Carry is also skipped when the carried term
-    left the query."""
+    left the query.
 
-    def __init__(self, path: str):
+    Entries are keyed by (query id, term-multiset hash) and stamped
+    with the save generation: an entry whose ``terms_hash`` does not
+    match the current query text is never consumed, and entries not
+    refreshed within ``max_age`` saves are evicted, so the cache file
+    stays bounded across any number of runs (VERDICT r3 #6)."""
+
+    def __init__(self, path: str, max_age: int = 8):
         self.path = path
+        self.max_age = max_age
 
-    def load(self) -> dict:
+    def _load_full(self) -> tuple[int, dict]:
         import json
         import os
         if not os.path.exists(self.path):
-            return {}
+            return 0, {}
         with open(self.path) as f:
             raw = json.load(f)
-        return {int(qid): {"term": e["term"],
-                           "pairs": [tuple(p) for p in e["pairs"]]}
-                for qid, e in raw.items()}
+        if "entries" not in raw:            # legacy flat format: age out
+            raw = {"gen": 0, "entries": raw}
+        entries = {int(qid): {**e, "pairs": [tuple(p) for p in e["pairs"]]}
+                   for qid, e in raw["entries"].items()}
+        return int(raw.get("gen", 0)), entries
+
+    def load(self) -> dict:
+        return self._load_full()[1]
 
     def save(self, carry: dict) -> None:
         import json
         import os
         import tempfile
-        merged = self.load()
-        merged.update(carry)
+        gen0, entries = self._load_full()
+        gen = gen0 + 1
+        for qid, e in carry.items():
+            entries[int(qid)] = {**e, "gen": gen}
+        entries = {q: e for q, e in entries.items()
+                   if e.get("gen", 0) > gen - self.max_age}
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(os.path.abspath(self.path)))
         with os.fdopen(fd, "w") as f:
-            json.dump({str(q): e for q, e in merged.items()}, f)
+            json.dump({"gen": gen,
+                       "entries": {str(q): e for q, e in entries.items()}},
+                      f)
         os.replace(tmp, self.path)
+
+
+def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
+                      spark, co_locate: bool = True) -> DataFrame:
+    """Multi-query fused rank (VERDICT r3 #4 / NEXT #6): per-partition
+    decode → COMPLETE per-(query, doc) sums → bounded per-query heap,
+    then a driver merge of the ≤ depth·P·Q candidate rows.
+
+    Correctness: blocks are repartitioned by doc-range ``shard`` BEFORE
+    the decode, so every doc's partials for all its query terms are
+    summed inside one partition (the codec guarantees a doc appears in
+    exactly one (term, shard) block per term) — the local top-depth
+    under the rank contract (round(s, 6) desc, doc_id asc) therefore
+    contains every global top-depth doc. ``co_locate=False`` skips the
+    repartition when every branch query is single-term (a doc then has
+    exactly one partial globally).
+
+    Scale: the one exchange moves COMPRESSED surviving blocks (a row
+    per block, ~128 postings each) instead of the per-posting partials
+    the groupBy+window path shuffles — ~two orders of magnitude less —
+    and no Exchange exists after the decode at all. Driver merge is
+    k·P·Q tiny rows. (Driver/pandas rounding is banker's vs Spark's
+    HALF_UP — indistinguishable off the measure-zero x.5e-6 boundary,
+    same as the θ driver arithmetic above.)"""
+    depth_by_qid = {int(qid): k + start for qid, k in branch_k.items()}
+
+    def fused(it):
+        frames = list(_score_blocks_map(it))
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        sums = df.groupby(["query_id", "doc_id"], as_index=False)["s"].sum()
+        sums["_r"] = sums["s"].round(SCORE_DECIMALS)
+        outs = []
+        for qid, g in sums.groupby("query_id"):
+            depth = depth_by_qid.get(int(qid))
+            if not depth:
+                continue
+            g = g.sort_values(["_r", "doc_id"],
+                              ascending=[False, True]).head(depth)
+            outs.append(g[["query_id", "doc_id", "s"]])
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    if co_locate:
+        blk = blk.repartition(F.col("shard"))
+    cand = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
+        .mapInPandas(fused, schema=_PARTIAL_SCHEMA)
+    by_q: dict[int, list] = {}
+    for r in cand.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["s"])))
+    out_rows = []
+    for qid, lst in sorted(by_q.items()):
+        lst.sort(key=lambda x: (-round(x[1], SCORE_DECIMALS), x[0]))
+        for rank, (d, s) in enumerate(lst[:depth_by_qid[qid]], 1):
+            if rank > start:
+                out_rows.append((qid, d, s, rank))
+    if not out_rows:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    return spark.createDataFrame(out_rows, _OUT_SCHEMA)
 
 
 def _rank_and_limit(scored: DataFrame, k_map: dict,
@@ -274,6 +364,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         return empty
 
     k_map = {qid: k for qid, k, *_ in plans}
+    thash = {qid: terms_hash(c) for qid, c, _ in specs}
     avgdl = bindex.avgdl
 
     def qterms_df(rows):
@@ -304,17 +395,28 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .withColumn("avgdl", F.lit(avgdl)))
         if debug_block_counts is not None:
             debug_block_counts["unpruned_blocks"] = blk.count()
-        partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
-            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-        if not small_multi:
-            # all single-term: a doc appears in exactly one block of
-            # its term, so partials are already per-doc unique — skip
-            # the (query, doc) sum and its shuffle entirely
-            scored = partials.withColumnRenamed("s", "score")
+        branch_k = {p[0]: p[1] for p in unpruned}
+        if tombstones is None and len(branch_k) > 1:
+            # batched path: fused per-partition rank (no exchange after
+            # the decode; doc-shard co-location only needed when a
+            # multi-term query must sum partials across blocks)
+            results.append(_fused_topk_local(
+                blk, branch_k, start, spark,
+                co_locate=bool(small_multi)))
         else:
-            scored = partials.groupBy("query_id", "doc_id") \
-                .agg(F.sum("s").alias("score"))
-        results.append(_rank_and_limit(scored, k_map, tombstones, start))
+            partials = blk.select("query_id", "w", "docs", "tfs", "dls",
+                                  "avgdl") \
+                .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+            if not small_multi:
+                # all single-term: a doc appears in exactly one block of
+                # its term, so partials are already per-doc unique — skip
+                # the (query, doc) sum and its shuffle entirely
+                scored = partials.withColumnRenamed("s", "score")
+            else:
+                scored = partials.groupBy("query_id", "doc_id") \
+                    .agg(F.sum("s").alias("score"))
+            results.append(_rank_and_limit(scored, k_map, tombstones,
+                                           start))
 
     # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
     if multi:
@@ -347,7 +449,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
             for qid, k, w, champ, total_ub, t_ub in multi:
                 e = theta_carry.get(qid)
                 depth = k + start
-                if not e or e["term"] not in w or len(e["pairs"]) < depth:
+                if not e or e.get("terms_hash") != thash.get(qid) \
+                        or e["term"] not in w or len(e["pairs"]) < depth:
                     continue
                 pairs = e["pairs"]
                 if tombstones is not None:
@@ -412,7 +515,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 for qid, ps in pairs.items():
                     if len(ps) >= k_map[qid]:
                         carry_out[qid] = {"term": champ_by_qid[qid],
-                                          "pairs": ps}
+                                          "pairs": ps,
+                                          "terms_hash": thash[qid]}
 
         # block-level union bound, computed with literal per-(query,term)
         # slack = θ₀ - Σ_{t'≠t} t_ub(t'): block survives iff
@@ -446,11 +550,17 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .withColumn("avgdl", F.lit(avgdl)))
         if debug_block_counts is not None:
             debug_block_counts["passB_blocks"] = blk.count()
-        partials = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
-            .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
-        scored = partials.groupBy("query_id", "doc_id") \
-            .agg(F.sum("s").alias("score"))
-        results.append(_rank_and_limit(scored, k_map, tombstones, start))
+        branch_k = {p[0]: p[1] for p in multi}
+        if tombstones is None and len(branch_k) > 1:
+            results.append(_fused_topk_local(blk, branch_k, start, spark))
+        else:
+            partials = blk.select("query_id", "w", "docs", "tfs", "dls",
+                                  "avgdl") \
+                .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+            scored = partials.groupBy("query_id", "doc_id") \
+                .agg(F.sum("s").alias("score"))
+            results.append(_rank_and_limit(scored, k_map, tombstones,
+                                           start))
 
     out = results[0]
     for r in results[1:]:

@@ -50,6 +50,7 @@ class QueryServer:
                             else None)
         self.theta_min_postings = theta_min_postings
         self.batches_served = 0
+        self.batch_walls: list[float] = []   # per-batch serve seconds
 
     def warm(self) -> None:
         """Pay the one-time costs up front: cache+coalesce the block
@@ -65,6 +66,12 @@ class QueryServer:
 
     def process_batch(self, queries: DataFrame, batch_id: int) -> None:
         """foreachBatch body — also directly callable for tests."""
+        import time
+        t0 = time.perf_counter()
+        # a request batch is one row per query id (Solr request
+        # semantics); duplicate ids in one batch would double-count
+        # their term weights — keep the first
+        queries = queries.dropDuplicates(["query_id"])
         kwargs = {}
         if self.theta_min_postings is not None:
             kwargs["theta_min_postings"] = self.theta_min_postings
@@ -80,6 +87,7 @@ class QueryServer:
         if self.theta_cache and carry_out:
             self.theta_cache.save(carry_out)
         self.batches_served += 1
+        self.batch_walls.append(time.perf_counter() - t0)
 
     def start(self, queries_stream: DataFrame, checkpoint_dir: str):
         """Attach to a readStream of (query_id, query_text, k) rows."""

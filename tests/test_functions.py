@@ -201,13 +201,45 @@ def test_geometry_segmentize_centroid_geojson():
         '{"type":"Point","coordinates":[1.5,-2.0]}'
 
     # valid geometry passes through the repair seam cleanly; a bowtie
-    # takes the reference's repair-failed path: original WKT returned
-    # unchanged + a problem message for the ledger (never an exception)
+    # (one crossing, opposite-winding lobes) is repaired the way GEOS
+    # buffer(0) repairs it — the CCW lobe survives (VERDICT r3 #8)
     assert validate_fix_geometry(rect) == \
         ("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))", None)
     bow = "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"
-    fixed, problem = validate_fix_geometry(bow)
-    assert fixed == bow and "Self-intersection" in problem
+    assert validate_fix_geometry(bow) == \
+        ("POLYGON ((5 5, 0 10, 0 0, 5 5))", None)
+    # harder invalidity (self-intersecting shell + a hole): still the
+    # reference's repair-failed path — original WKT + problem message
+    # for the ledger (never an exception)
+    hard = "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0), " \
+           "(1 1, 2 1, 2 2, 1 1))"
+    fixed, problem = validate_fix_geometry(hard)
+    assert fixed == hard and "Self-intersection" in problem
+
+
+def test_bowtie_repair_matches_geos_golden():
+    """VERDICT r3 #8 golden: GEOS buffer(0) on the canonical bowtie
+    ``Polygon([(0,0),(2,2),(2,0),(0,2)])`` returns
+    ``POLYGON ((0 0, 1 1, 0 2, 0 0))`` — the positive-winding lobe,
+    split at the crossing. Our repair returns the SAME ring (identical
+    cyclic vertex order and orientation); only the serialization
+    starting point differs (we start at the crossing)."""
+    from solr_indexer_spark.functions.geometry import (parse_wkt_any,
+                                                       validate_fix_geometry)
+    fixed, problem = validate_fix_geometry(
+        "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert problem is None
+    assert fixed == "POLYGON ((1 1, 0 2, 0 0, 1 1))"
+    ours = parse_wkt_any(fixed)[1][0][:-1]
+    geos = parse_wkt_any("POLYGON ((0 0, 1 1, 0 2, 0 0))")[1][0][:-1]
+    k = geos.index(ours[0])
+    assert ours == geos[k:] + geos[:k]
+    # same-winding double loop (buffer(0) would UNION, not split):
+    # refused — harder-case pass-through
+    from solr_indexer_spark.functions.geometry import repair_bowtie_ring
+    assert repair_bowtie_ring(
+        [(0, 0), (4, 0), (4, 4), (1, 4), (1, 1), (3, 1), (3, 3),
+         (0, 3), (0, 0)]) is None
 
 
 def test_geometry_multi_kinds():
@@ -271,18 +303,23 @@ def test_geometry_ledger_routing(spark, tmp_path):
     from solr_indexer_spark.functions.geometry import route_invalid_geometries
     df = spark.createDataFrame(
         [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
-         (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"),
-         (3, "NOT A GEOMETRY")],
+         (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0), "
+             "(1 1, 2 1, 2 2, 1 1))"),
+         (3, "NOT A GEOMETRY"),
+         (4, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")],
         "doc_id long, wkt string")
     ledger = str(tmp_path / "run_log")
     out = route_invalid_geometries(df, "wkt", "doc_id", ledger_dir=ledger)
     rows = {r["doc_id"]: r for r in out.collect()}
-    assert len(rows) == 3                      # every row kept flowing
+    assert len(rows) == 4                      # every row kept flowing
     assert rows[1]["geom_problem"] is None
     assert "Self-intersection" in rows[2]["geom_problem"]
     assert "unparseable" in rows[3]["geom_problem"]
-    # originals unchanged (reference repair-failed path)
-    assert rows[2]["wkt"] == "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"
+    # harder case (shell crossing + hole): original unchanged
+    assert rows[2]["wkt"].startswith("POLYGON ((0 0, 10 10,")
+    # plain bowtie: REPAIRED in place (r4), no ledger entry
+    assert rows[4]["geom_problem"] is None
+    assert rows[4]["wkt"] == "POLYGON ((5 5, 0 10, 0 0, 5 5))"
     led = spark.read.parquet(ledger)
     assert led.filter("stage = 'geometry'").count() == 2
 

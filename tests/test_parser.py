@@ -138,3 +138,14 @@ def test_router_sends_boost_slop_fuzzy_to_tree(spark):
         direct = search_tree(q, docs, index, k=5, pos_postings=pos)
         assert [tuple(r) for r in via.collect()] == \
             [tuple(r) for r in direct.collect()], q
+
+
+def test_parse_fuzzy_boost_kept():
+    """part~1^3: Lucene binds fuzzy inside the boost — the ^3 must land
+    on FuzzyN.boost, not be silently dropped (ADVICE r3)."""
+    from solr_indexer_spark.query.qtree import FuzzyN, parse_tree
+    g = parse_tree("part~1^3")
+    (_mod, node), = g.clauses
+    assert isinstance(node, FuzzyN)
+    assert node.max_edits == 1
+    assert node.boost == 3.0

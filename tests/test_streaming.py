@@ -114,3 +114,80 @@ def test_query_server_stream(spark, tmp_path):
     # cheaper than a session spin-up (generous bound — the sandbox CPU
     # token bucket can inflate walls 3×, BENCH.md forensics)
     assert served_wall < 45
+
+
+def test_query_server_rate_soak(spark, tmp_path):
+    """VERDICT r3 #9 soak: a rate-source feed drives ≥20 micro-batches
+    through the warmed server. Asserts exactly-once per-batch results
+    (every (batch, query) has exactly k ranks 1..k and is identical to
+    the direct batch answer), and flat per-batch latency (the θ cache
+    and pinned dictionaries keep late batches as cheap as early ones —
+    no state leak, no monotonic drift)."""
+    import statistics
+    import time
+    from pyspark.sql import functions as F
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.codec import build_block_index
+    from solr_indexer_spark.query.wand import topk_wand
+    from solr_indexer_spark.streaming.query_server import (
+        QUERY_SCHEMA, QueryServer)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bindex = build_block_index(build_index(docs, id_col="doc_id"),
+                               shard_range=4096)
+    srv = QueryServer(bindex, str(tmp_path / "soak"),
+                      theta_min_postings=0)
+    srv.warm()
+
+    qtexts = ["scan column window", "sort merge join",
+              "batch small dup"]
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 50).load())
+    queries = (rate.select(
+        (F.col("value") % 3).cast("int").alias("query_id"),
+        F.element_at(F.array(*[F.lit(t) for t in qtexts]),
+                     (F.col("value") % 3).cast("int") + 1)
+        .alias("query_text"),
+        F.lit(5).cast("int").alias("k")))
+    # (per-batch duplicate ids are deduped inside process_batch — a
+    # streaming-side dropDuplicates would be STATEFUL across batches
+    # and starve later batches of repeated query ids)
+
+    q = srv.start(queries, checkpoint_dir=str(tmp_path / "soak_ck"))
+    deadline = time.time() + 240
+    while srv.batches_served < 20 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert srv.batches_served >= 20, srv.batches_served
+
+    res = srv.results(spark).cache()
+    # exactly-once shape: every served (batch, query) has exactly k
+    # rows with distinct ranks 1..k
+    agg = (res.groupBy("batch_id", "query_id")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("rank").alias("nr"),
+                F.max("rank").alias("mx")).collect())
+    assert agg
+    assert all(r["n"] == 5 and r["nr"] == 5 and r["mx"] == 5
+               for r in agg)
+    # every batch's answer is identical to the direct batch answer
+    direct = {}
+    qdf = spark.createDataFrame([(i, qtexts[i], 5) for i in range(3)],
+                                QUERY_SCHEMA)
+    for r in topk_wand(qdf, bindex, theta_min_postings=0).collect():
+        direct.setdefault(r["query_id"], set()).add(
+            (r["rank"], r["doc_id"], round(r["score"], 6)))
+    got = {}
+    for r in res.collect():
+        got.setdefault((r["batch_id"], r["query_id"]), set()).add(
+            (r["rank"], r["doc_id"], round(r["score"], 6)))
+    for (bid, qid), rows in got.items():
+        assert rows == direct[qid], (bid, qid)
+    # θ cache engaged and bounded
+    assert srv.theta_cache.load()
+    # flat latency: the late-soak median must not drift above the
+    # early-soak median beyond token-bucket noise (BENCH.md: ±3×)
+    walls = srv.batch_walls
+    early = statistics.median(walls[1:6])
+    late = statistics.median(walls[-5:])
+    assert late <= early * 3, (early, late, walls)

@@ -310,3 +310,59 @@ def test_theta_carry_with_tombstones(spark, pages, tmp_path):
     assert victim not in {r["doc_id"] for r in carried}
     # carry still engaged (5 of the ≥5 carried pairs survive → no pass A)
     assert "passA_blocks" not in counts
+
+
+def test_theta_cache_stale_text_never_matches(spark, pages, tmp_path):
+    """VERDICT r3 #6: ThetaCache entries are keyed by the term-multiset
+    hash — a REUSED query id whose text changed must never consume the
+    stale entry (pass A runs fresh), while the unchanged text still
+    carries."""
+    from solr_indexer_spark.query.wand import ThetaCache, topk_wand
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    ing.process_batch(pages.filter(F.crc32("url") % 2 == 0), 0)
+    bindex = ing.load(spark)
+    cache = ThetaCache(str(tmp_path / "theta.json"))
+
+    q1 = spark.createDataFrame([(1, "term0002 term0003 term0004", 10)],
+                               "query_id int, query_text string, k int")
+    carry = {}
+    topk_wand(q1, bindex, theta_min_postings=0, carry_out=carry).collect()
+    assert 1 in carry and carry[1]["terms_hash"]
+    cache.save(carry)
+
+    # same id, SAME text → carry engages (pass A skipped)
+    counts_same = {}
+    topk_wand(q1, bindex, theta_min_postings=0, theta_carry=cache.load(),
+              debug_block_counts=counts_same).collect()
+    assert "passA_blocks" not in counts_same
+
+    # same id, CHANGED text (still contains the carried champion term,
+    # so the old pre-hash check alone would have carried) → stale entry
+    # ignored, pass A runs
+    q2 = spark.createDataFrame([(1, "term0002 term0005 term0006", 10)],
+                               "query_id int, query_text string, k int")
+    counts_changed = {}
+    topk_wand(q2, bindex, theta_min_postings=0, theta_carry=cache.load(),
+              debug_block_counts=counts_changed).collect()
+    assert counts_changed.get("passA_blocks", 0) > 0
+
+
+def test_theta_cache_eviction_bounds_file(tmp_path):
+    """Entries not refreshed within max_age saves are evicted — the
+    cache file stays bounded across any number of runs."""
+    from solr_indexer_spark.query.wand import ThetaCache
+    cache = ThetaCache(str(tmp_path / "theta.json"), max_age=4)
+    for run in range(30):
+        cache.save({run: {"term": "t", "pairs": [(1, 2, 3)],
+                          "terms_hash": f"h{run}"}})
+    entries = cache.load()
+    # only the last max_age generations survive
+    assert set(entries) == {26, 27, 28, 29}
+    # a refreshed entry survives arbitrarily many saves
+    for run in range(30, 40):
+        cache.save({0: {"term": "t", "pairs": [(1, 2, 3)],
+                        "terms_hash": "h0"},
+                    run: {"term": "t", "pairs": [(1, 2, 3)],
+                          "terms_hash": f"h{run}"}})
+    assert 0 in cache.load() and len(cache.load()) <= 5
