@@ -610,6 +610,10 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(k)
+    # unpartitioned Window is safe here: it runs AFTER the
+    # orderBy+limit(k) (TakeOrderedAndProject), so it numbers only
+    # <= start+k rows — the WindowExec single-partition warning it
+    # logs is about those k rows, not the corpus
     w = Window.orderBy(*order)
     return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank")

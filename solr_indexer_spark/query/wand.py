@@ -202,8 +202,31 @@ class ThetaCache:
         os.replace(tmp, self.path)
 
 
+# safety valve / A-B switch for the batched fused rank (tests and the
+# bench A/B monkeypatch this; True is the production default)
+FUSED_BATCHED = True
+
+_FUSED_TOMBSTONE_LIMIT = 10_000
+
+
+def _collect_small_tombstones(tombstones: DataFrame | None):
+    """Kill-set for the fused path: collect tombstone ids only when the
+    table is small (bounded LIMIT+1 probe — never an unbounded
+    collect). DocTable's tombstone-fraction auto-compaction keeps
+    serving-time tombstone tables small, so this is the common case;
+    an oversized table returns None and the caller falls back to the
+    window path's broadcast anti-join. No tombstones → empty set."""
+    if tombstones is None:
+        return frozenset()
+    rows = tombstones.limit(_FUSED_TOMBSTONE_LIMIT + 1).collect()
+    if len(rows) > _FUSED_TOMBSTONE_LIMIT:
+        return None
+    return frozenset(int(r[0]) for r in rows)
+
+
 def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
-                      spark, co_locate: bool = True) -> DataFrame:
+                      spark, co_locate: bool = True,
+                      kill_set: frozenset = frozenset()) -> DataFrame:
     """Multi-query fused rank (VERDICT r3 #4 / NEXT #6): per-partition
     decode → COMPLETE per-(query, doc) sums → bounded per-query heap,
     then a driver merge of the ≤ depth·P·Q candidate rows.
@@ -223,14 +246,34 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
     and no Exchange exists after the decode at all. Driver merge is
     k·P·Q tiny rows. (Driver/pandas rounding is banker's vs Spark's
     HALF_UP — indistinguishable off the measure-zero x.5e-6 boundary,
-    same as the θ driver arithmetic above.)"""
+    same as the θ driver arithmetic above.)
+
+    ``kill_set``: tombstoned doc ids (deleted-docs bitmap semantics) —
+    dropped from the decoded partials BEFORE the sums/heap, identical
+    to the window path's pre-ranking anti-join.
+
+    Raw scores may differ from the window path in the LAST ULP (pandas
+    partition-local summation order vs Spark's shuffle-order agg —
+    float addition is non-associative; measured exactly one ulp on one
+    (query, doc) across the full sf0.1 gate batch). The rank contract
+    rounds to 6 dp before ranking and the gates project 4 dp, so
+    ranking and oracle hashes are unaffected.
+
+    Sandbox A/B (interleaved best-of-4, same session/caches): fused
+    1.363 s vs window 1.245 s for the 7-query gate batch at sf0.1 —
+    the extra block exchange costs one ~0.1 s stage at toy scale, while
+    the eliminated per-posting shuffle is ~100× the bytes at web scale.
+    Scale-first default: fused (set FUSED_BATCHED=False to compare)."""
     depth_by_qid = {int(qid): k + start for qid, k in branch_k.items()}
+    kill_list = sorted(kill_set)
 
     def fused(it):
         frames = list(_score_blocks_map(it))
         if not frames:
             return
         df = pd.concat(frames, ignore_index=True)
+        if kill_set:
+            df = df[~df["doc_id"].isin(kill_list)]
         sums = df.groupby(["query_id", "doc_id"], as_index=False)["s"].sum()
         sums["_r"] = sums["s"].round(SCORE_DECIMALS)
         outs = []
@@ -281,6 +324,10 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
         # below would shuffle every partial to rank them
         (qid, k), = k_map.items()
         top = scored.orderBy(*order).limit(start + k)
+        # unpartitioned Window is safe here: it runs AFTER the
+        # orderBy+limit(k) (TakeOrderedAndProject), so it numbers only
+        # <= start+k rows — the WindowExec single-partition warning it
+        # logs is about those k rows, not the corpus
         w1 = Window.orderBy(*order)
         return (top.withColumn("rank", F.row_number().over(w1))
                 .filter(F.col("rank") > F.lit(start))
@@ -388,6 +435,23 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     # appears in exactly one block of its term, so partials are already
     # per-doc unique — one fewer shuffle per query
     unpruned = single + small_multi
+
+    # batched fused rank (VERDICT r3 #4): ONE global decision — with >1
+    # query and a collectable (or absent) tombstone table, BOTH the
+    # unpruned and the θ-pruned branches contribute their surviving
+    # blocks to a single fused candidate job (one exchange of
+    # compressed blocks, one decode+heap pass, one driver merge) —
+    # merging the branches halves the per-action job floor the r4-draft
+    # branch-local fusion paid twice
+    kill = _collect_small_tombstones(tombstones) \
+        if FUSED_BATCHED and len(k_map) > 1 else None
+    use_fused = kill is not None
+    fused_blks: list = []
+    fused_k: dict = {}
+    fused_colocate = False
+    _FUSED_COLS = ["query_id", "w", "docs", "tfs", "dls", "avgdl",
+                   "shard"]
+
     if unpruned:
         qt = qterms_df([(qid, t, wt) for qid, _, w, *_ in unpruned
                         for t, wt in w.items()])
@@ -395,14 +459,10 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .withColumn("avgdl", F.lit(avgdl)))
         if debug_block_counts is not None:
             debug_block_counts["unpruned_blocks"] = blk.count()
-        branch_k = {p[0]: p[1] for p in unpruned}
-        if tombstones is None and len(branch_k) > 1:
-            # batched path: fused per-partition rank (no exchange after
-            # the decode; doc-shard co-location only needed when a
-            # multi-term query must sum partials across blocks)
-            results.append(_fused_topk_local(
-                blk, branch_k, start, spark,
-                co_locate=bool(small_multi)))
+        if use_fused:
+            fused_blks.append(blk.select(*_FUSED_COLS))
+            fused_k.update({p[0]: p[1] for p in unpruned})
+            fused_colocate = fused_colocate or bool(small_multi)
         else:
             partials = blk.select("query_id", "w", "docs", "tfs", "dls",
                                   "avgdl") \
@@ -550,9 +610,10 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                .withColumn("avgdl", F.lit(avgdl)))
         if debug_block_counts is not None:
             debug_block_counts["passB_blocks"] = blk.count()
-        branch_k = {p[0]: p[1] for p in multi}
-        if tombstones is None and len(branch_k) > 1:
-            results.append(_fused_topk_local(blk, branch_k, start, spark))
+        if use_fused:
+            fused_blks.append(blk.select(*_FUSED_COLS))
+            fused_k.update({p[0]: p[1] for p in multi})
+            fused_colocate = True            # multi-term: sums span blocks
         else:
             partials = blk.select("query_id", "w", "docs", "tfs", "dls",
                                   "avgdl") \
@@ -561,6 +622,14 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 .agg(F.sum("s").alias("score"))
             results.append(_rank_and_limit(scored, k_map, tombstones,
                                            start))
+
+    if fused_blks:
+        blk_all = fused_blks[0]
+        for b in fused_blks[1:]:
+            blk_all = blk_all.unionByName(b)
+        results.append(_fused_topk_local(blk_all, fused_k, start, spark,
+                                         co_locate=fused_colocate,
+                                         kill_set=kill))
 
     out = results[0]
     for r in results[1:]:

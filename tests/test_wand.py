@@ -195,3 +195,30 @@ def test_paging_start_offset(spark, docs, qdf):
                        round(r["score"], 6)) for r in wand2) == \
             sorted((r["query_id"], r["rank"], r["doc_id"],
                     round(r["score"], 6)) for r in exact2), theta_min
+
+
+def test_batched_fused_rank_with_tombstones(spark, docs, qdf):
+    """r4 backlog: the batched fused path stays exact under tombstones —
+    a small tombstone table rides into the fused map as a kill-set
+    (dropped before sums/heap, = the window path's pre-rank anti-join);
+    results identical to per-query calls with the same tombstones."""
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=2048)
+    full = topk_wand(qdf, bindex, theta_min_postings=0).collect()
+    victims = sorted({r["doc_id"] for r in full})[:3]
+    tomb = spark.createDataFrame([(int(v),) for v in victims],
+                                 "doc_id long")
+    batched = topk_wand(qdf, bindex, theta_min_postings=0,
+                        tombstones=tomb).collect()
+
+    def canon(rows):
+        return sorted((x["query_id"], x["rank"], x["doc_id"],
+                       round(x["score"], 6)) for x in rows)
+
+    ref = []
+    for r in qdf.collect():
+        one = qdf.filter(F.col("query_id") == r["query_id"])
+        ref.extend(topk_wand(one, bindex, theta_min_postings=0,
+                             tombstones=tomb).collect())
+    assert canon(batched) == canon(ref)
+    assert not (set(victims) & {x["doc_id"] for x in batched})
