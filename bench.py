@@ -71,7 +71,7 @@ def main() -> None:
     # idle before measuring: whatever ran before this bench (the
     # correctness harness, tests) drained the host's CPU token bucket,
     # and the latency probes below are the headline numbers
-    pre_cool = float(os.environ.get("BENCH_PRE_COOLDOWN", "60"))
+    pre_cool = max(0.0, float(os.environ.get("BENCH_PRE_COOLDOWN", "60")))
     if pre_cool > 0:
         time.sleep(pre_cool)
     timings: dict[str, float] = {}
@@ -193,7 +193,7 @@ def main() -> None:
 
     # builds drained the bucket they were measured on; idle so the
     # LATENCY probes below run steady-state (BENCH.md protocol)
-    cooldown = float(os.environ.get("BENCH_COOLDOWN", "150"))
+    cooldown = max(0.0, float(os.environ.get("BENCH_COOLDOWN", "150")))
     if cooldown > 0:
         time.sleep(cooldown)
 

@@ -1550,6 +1550,33 @@ ORDER BY d.doc_id"""),
     """,
 }
 
+def q_wkt_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffer(0) repair seam, oracle-gated end-to-end (VERDICT r3 #8):
+    per doc one of {valid rect, single-crossing bowtie, bowtie+hole}.
+    The engine runs the vectorized validate/repair UDF; the oracle
+    derives the SAME output closed-form — crossing at (w/2, h/2), the
+    CCW lobe survives (GEOS buffer(0) winding rule), hole-bearing
+    shells take the reference repair-failed pass-through."""
+    from .functions.geometry import validate_geometry_udf
+    d = _docs(spark, sf_dir)
+    ws = (F.col("doc_id") % 9 + 2).cast("int").cast("string")
+    hs = (F.col("doc_id") % 7 + 2).cast("int").cast("string")
+    m = F.col("doc_id") % 3
+    rect = F.concat(F.lit("POLYGON ((0 0, "), ws, F.lit(" 0, "), ws,
+                    F.lit(" "), hs, F.lit(", 0 "), hs, F.lit(", 0 0))"))
+    bow = F.concat(F.lit("POLYGON ((0 0, "), ws, F.lit(" "), hs,
+                   F.lit(", "), ws, F.lit(" 0, 0 "), hs, F.lit(", 0 0))"))
+    bow_hole = F.concat(
+        F.lit("POLYGON ((0 0, "), ws, F.lit(" "), hs, F.lit(", "), ws,
+        F.lit(" 0, 0 "), hs, F.lit(", 0 0), (1 1, 2 1, 2 2, 1 1))"))
+    wkt = F.when(m == 0, rect).when(m == 1, bow).otherwise(bow_hole)
+    checked = d.select("doc_id", wkt.alias("wkt")) \
+        .withColumn("_g", validate_geometry_udf(F.col("wkt")))
+    return checked.select(
+        "doc_id", F.col("_g.wkt").alias("wkt_out"),
+        F.col("_g.problem").isNull().alias("ok")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Consolidated gates (VERDICT r3 ask #1): the driver oracle-verifies only
 # the FIRST 50 ``queries()`` entries per round, so the singleton scalar /
@@ -1680,6 +1707,7 @@ QUERIES = {
     "temporal_filter": q_temporal_filter,
     "wkt_segmentize": q_wkt_segmentize,
     "wkt_multi_family": q_wkt_multi_family,
+    "wkt_repair": q_wkt_repair,
     "json_projection": q_json_projection,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram": q_dedup_ngram,
@@ -2157,6 +2185,33 @@ _SQL_ALL["dedup_ngram"] = f"""
     FULL JOIN {_sub('dedup_ngram_minhash')} y
       ON x.a = y.a AND x.b = y.b
     ORDER BY 1, 2
+"""
+
+_SQL_ALL["wkt_repair"] = """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 9 + 2)::INT AS w,
+             (doc_id % 7 + 2)::INT AS h,
+             doc_id % 3 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN m = 0 THEN
+               'POLYGON ((0 0, ' || w::VARCHAR || ' 0, ' || w::VARCHAR
+               || ' ' || h::VARCHAR || ', 0 ' || h::VARCHAR || ', 0 0))'
+             WHEN m = 1 THEN
+               'POLYGON ((' || printf('%g', w / 2.0) || ' '
+               || printf('%g', h / 2.0) || ', 0 ' || h::VARCHAR
+               || ', 0 0, ' || printf('%g', w / 2.0) || ' '
+               || printf('%g', h / 2.0) || '))'
+             ELSE
+               'POLYGON ((0 0, ' || w::VARCHAR || ' ' || h::VARCHAR
+               || ', ' || w::VARCHAR || ' 0, 0 ' || h::VARCHAR
+               || ', 0 0), (1 1, 2 1, 2 2, 1 1))'
+           END AS wkt_out,
+           (m <> 2) AS ok
+    FROM p ORDER BY doc_id
 """
 
 ORACLE_SQL = {k: _SQL_ALL[k] for k in QUERIES if k in _SQL_ALL}

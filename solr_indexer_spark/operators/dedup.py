@@ -345,8 +345,7 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
         .distinct().localCheckpoint()
     labels = edges.select(F.col("x").alias("id")).distinct() \
         .withColumn("lbl", F.col("id")).localCheckpoint()
-    changed = 0
-    for _ in range(max_iter):
+    def _round(labels):
         nbr = (edges.join(labels.select(F.col("id").alias("y"), "lbl"),
                           "y")
                .groupBy("x").agg(F.min("lbl").alias("nlbl")))
@@ -357,15 +356,24 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
                .localCheckpoint())
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new
+        return new, changed
+
+    changed = 0
+    for _ in range(max_iter):
+        labels, changed = _round(labels)
         if changed == 0:
             break
     if changed != 0:
-        raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds ({changed} labels still changing) — the "
-            f"pair graph has a component with diameter > max_iter; raise "
-            f"max_iter")
+        # the last allowed round may have made the FINAL change (a
+        # component of diameter exactly max_iter): one probe round
+        # distinguishes converged-at-the-wire from genuinely diverged
+        labels, changed = _round(labels)
+        if changed != 0:
+            raise RuntimeError(
+                f"dedup_clusters: min-label propagation did not converge "
+                f"in {max_iter} rounds ({changed} labels still changing) "
+                f"— the pair graph has a component with diameter > "
+                f"max_iter; raise max_iter")
     out = labels.select(F.col("id").alias(id_col),
                         F.col("lbl").alias("cluster_id"))
     if all_ids is not None:

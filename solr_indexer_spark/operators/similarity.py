@@ -441,7 +441,7 @@ def opq_train(vectors: DataFrame, centroids: np.ndarray,
     # argmin guarantees the result is never worse than rotation-only
     rot = opq_rotation(X.shape[1])
     best = None
-    for _ in range(opq_iters):
+    for _ in range(max(1, opq_iters)):   # <1 degrades to rotation-only
         Z = res @ rot.T
         books = _pq_fit_books(Z, m, nbits, iters, seed)
         Y = _pq_reconstruct(Z, books)

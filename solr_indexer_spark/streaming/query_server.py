@@ -70,8 +70,13 @@ class QueryServer:
         t0 = time.perf_counter()
         # a request batch is one row per query id (Solr request
         # semantics); duplicate ids in one batch would double-count
-        # their term weights — keep the first
-        queries = queries.dropDuplicates(["query_id"])
+        # their term weights. Deterministic pick (min (text, k) struct)
+        # — dropDuplicates keeps an ARBITRARY row, which would let a
+        # foreachBatch replay overwrite batch_id=N with a different
+        # answer than the first attempt
+        queries = (queries.groupBy("query_id")
+                   .agg(F.min(F.struct("query_text", "k")).alias("_q"))
+                   .select("query_id", "_q.query_text", "_q.k"))
         kwargs = {}
         if self.theta_min_postings is not None:
             kwargs["theta_min_postings"] = self.theta_min_postings

@@ -398,6 +398,11 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1, 0.9) for i in range(8)], "a long, b long, j_r4 double")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iter=1)
+    # exact-diameter boundary: the final allowed round makes the LAST
+    # change — the probe round must accept it, not raise
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(chain, max_iter=8).collect()}
+    assert set(got.values()) == {0}
     # enough rounds: the same chain converges to one min-labeled cluster
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_clusters(chain, max_iter=10).collect()}
