@@ -1159,6 +1159,12 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_lm_unigram_score(spark, sf_dir):
+    """Unigram-LM quality filter proxy (CCNet/Gopher-style)."""
+    from .operators.textstats import lm_unigram_score
+    return lm_unigram_score(_docs(spark, sf_dir))
+
+
 def q_payload_meta(spark, sf_dir):
     from .operators.multimodal import assets_from_docs
     return assets_from_docs(_docs(spark, sf_dir)) \
@@ -1608,14 +1614,16 @@ def q_scalars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-analysis signals combined on doc_id: language ID,
-    quality score, token counts, repetition signal, fingerprint."""
+    quality score, token counts, repetition signal, fingerprint,
+    unigram-LM quality score."""
     out = (q_lang_id(spark, sf_dir)
            .join(q_quality_score(spark, sf_dir), "doc_id")
            .join(q_token_count(spark, sf_dir)
                  .withColumnRenamed("n_tokens", "n_tokens_tc"), "doc_id")
            .join(q_repetition_signal(spark, sf_dir), "doc_id")
            .join(q_doc_fingerprint(spark, sf_dir)
-                 .withColumnRenamed("id", "doc_id"), "doc_id"))
+                 .withColumnRenamed("id", "doc_id"), "doc_id")
+           .join(q_lm_unigram_score(spark, sf_dir), "doc_id"))
     return out.orderBy("doc_id")
 
 
@@ -2135,6 +2143,16 @@ _SQL_ALL["scalars_events"] = f"""
     ORDER BY event_id
 """
 
+_SQL_ALL["lm_unigram_score"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    cf AS (SELECT t, count(*) AS cf FROM tok GROUP BY t),
+    tot AS (SELECT sum(cf) AS N, count(*) AS V FROM cf),
+    p AS (SELECT t, -ln((cf + 1)::DOUBLE / (N + V)) AS nlp
+          FROM cf CROSS JOIN tot)
+    SELECT doc_id, round(avg(nlp), 4) AS lm_nlp_r4
+    FROM tok JOIN p USING (t) GROUP BY doc_id ORDER BY doc_id
+"""
+
 _SQL_ALL["text_signals"] = f"""
     SELECT * FROM {_sub('lang_id')} a
     JOIN {_sub('quality_score')} b USING (doc_id)
@@ -2144,6 +2162,7 @@ _SQL_ALL["text_signals"] = f"""
     JOIN {_sub('repetition_signal')} d USING (doc_id)
     JOIN (SELECT id AS doc_id, fp FROM {_sub('doc_fingerprint')} t1) e
       USING (doc_id)
+    JOIN {_sub('lm_unigram_score')} f USING (doc_id)
     ORDER BY doc_id
 """
 

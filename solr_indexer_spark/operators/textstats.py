@@ -189,3 +189,30 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     F.coalesce("contaminated", F.lit(False))
                     .alias("contaminated"))
             .orderBy(id_col))
+
+
+def lm_unigram_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lm_nlp_r4) — model-based quality-filter proxy (the
+    CCNet/Gopher LM-perplexity filter, unigram stand-in): per doc the
+    mean negative log-probability of its tokens under an add-one-
+    smoothed corpus unigram LM, P(t) = (cf_t + 1) / (N + V). Lower =
+    more corpus-typical text; thresholding the tail is the standard
+    LM-filter curation step.
+
+    Relational, scale-safe: one map-side-combinable corpus-frequency
+    agg, the (tiny) term table broadcast back, explode + join + avg —
+    documents never shuffle, no driver collect (the (N, V) totals ride
+    a broadcast crossJoin). Docs with zero tokens drop out (no tokens
+    to score), mirroring the reference's skip-empty behavior."""
+    tok = docs.select(F.col(id_col),
+                     F.explode(tokenize_col("text")).alias("t"))
+    cf = tok.groupBy("t").agg(F.count("*").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("N"), F.count("*").alias("V"))
+    p = (cf.crossJoin(F.broadcast(tot))
+         .withColumn("nlp", -F.log((F.col("cf") + 1)
+                                   / (F.col("N") + F.col("V"))))
+         .select("t", "nlp"))
+    return (tok.join(F.broadcast(p), "t")
+            .groupBy(id_col)
+            .agg(F.round(F.avg("nlp"), 4).alias("lm_nlp_r4"))
+            .orderBy(id_col))

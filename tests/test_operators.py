@@ -466,3 +466,19 @@ def test_opq_full_alternation_beats_rotation_only(spark):
 
     e_rot, e_full = qerr(R0, books0), qerr(Rf, booksf)
     assert e_full <= e_rot, (e_full, e_rot)
+
+
+def test_lm_unigram_score(spark):
+    """Unigram-LM quality proxy: docs carrying rarer tokens score a
+    higher mean negative log-prob; token-less docs drop out."""
+    from solr_indexer_spark.operators.textstats import lm_unigram_score
+    docs = spark.createDataFrame(
+        [(0, "the the the the"), (1, "the the the zzyzx")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_nlp_r4"]
+           for r in lm_unigram_score(docs).collect()}
+    assert got[1] > got[0]
+    docs2 = spark.createDataFrame([(0, "a b"), (1, "")],
+                                  "doc_id long, text string")
+    assert {r["doc_id"]
+            for r in lm_unigram_score(docs2).collect()} == {0}
