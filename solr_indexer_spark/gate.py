@@ -1165,6 +1165,13 @@ def q_lm_unigram_score(spark, sf_dir):
     return lm_unigram_score(_docs(spark, sf_dir))
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Corpus-internal repeated-span signal (exact-substring dedup
+    family, Lee et al. 2022) at 8-gram granularity."""
+    from .operators.textstats import repeated_spans
+    return repeated_spans(_docs(spark, sf_dir), n=8, min_df=2)
+
+
 def q_payload_meta(spark, sf_dir):
     from .operators.multimodal import assets_from_docs
     return assets_from_docs(_docs(spark, sf_dir)) \
@@ -1629,9 +1636,11 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation flags combined on doc_id: deterministic
-    split assignment + benchmark decontamination."""
+    split assignment + benchmark decontamination + corpus-internal
+    repeated-span coverage (exact-substring dedup family)."""
     return (q_split_by_hash(spark, sf_dir)
             .join(q_decontaminate(spark, sf_dir), "doc_id")
+            .join(q_repeated_spans(spark, sf_dir), "doc_id")
             .orderBy("doc_id"))
 
 
@@ -2166,9 +2175,36 @@ _SQL_ALL["text_signals"] = f"""
     ORDER BY doc_id
 """
 
+_SQL_ALL["repeated_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8 THEN
+               list_transform(range(1, len(toks) - 6),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                   || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+             ELSE [] END) AS g
+      FROM t
+    ),
+    h AS (SELECT doc_id, {_md5h_sql('g')} AS h FROM pos),
+    gdf AS (SELECT h, count(DISTINCT doc_id) AS gdf FROM h GROUP BY h),
+    per AS (SELECT doc_id, count(*) AS n_spans FROM h GROUP BY doc_id),
+    rep AS (SELECT h.doc_id, count(*) AS n_repeated
+            FROM h JOIN gdf USING (h) WHERE gdf.gdf >= 2
+            GROUP BY h.doc_id)
+    SELECT per.doc_id, per.n_spans,
+           coalesce(rep.n_repeated, 0) AS n_repeated,
+           round(coalesce(rep.n_repeated, 0)::DOUBLE / per.n_spans, 4)
+             AS repeated_frac_r4
+    FROM per LEFT JOIN rep ON per.doc_id = rep.doc_id
+    ORDER BY per.doc_id
+"""
+
 _SQL_ALL["curation_flags"] = f"""
     SELECT * FROM {_sub('split_by_hash')} a
     JOIN {_sub('decontaminate')} b USING (doc_id)
+    JOIN {_sub('repeated_spans')} c USING (doc_id)
     ORDER BY doc_id
 """
 

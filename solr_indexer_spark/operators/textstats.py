@@ -216,3 +216,44 @@ def lm_unigram_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .groupBy(id_col)
             .agg(F.round(F.avg("nlp"), 4).alias("lm_nlp_r4"))
             .orderBy(id_col))
+
+
+def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                   n: int = 8, min_df: int = 2) -> DataFrame:
+    """(id, n_spans, n_repeated, repeated_frac_r4) — corpus-internal
+    repeated-span signal (the exact-substring dedup family of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at word n-gram granularity): per doc, the fraction of its
+    n-gram start positions whose n-gram also occurs in ≥ ``min_df``
+    DISTINCT documents. Curation cuts the high tail (boilerplate,
+    licence blocks, navigation chrome). Intra-doc-only repeats are
+    deliberately NOT flagged — that is ``repetition_signal``'s job.
+
+    Scale: positions explode once and the gram identity immediately
+    becomes an 8-byte md5-60 hash (text never shuffles); document
+    frequency is one map-side-combinable groupBy over (hash, id)
+    distinct; the flagged-gram join is a hash join on the gram hash —
+    both sides partition by it, no broadcast needed at any corpus
+    size. Docs with < n tokens have no spans and drop out."""
+    from .dedup import md5_hash60
+    toks = tokenize_col("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(F.col(id_col), F.explode(grams).alias("g")) \
+        .select(id_col, md5_hash60(F.col("g")).alias("h"))
+    gdf = (pos.select(id_col, "h").distinct()
+           .groupBy("h").agg(F.count("*").alias("gdf")))
+    flagged = gdf.filter(F.col("gdf") >= min_df).select("h")
+    per_doc = pos.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    rep = (pos.join(flagged, "h", "left_semi")
+           .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
+    return (per_doc.join(rep, id_col, "left")
+            .withColumn("n_repeated", F.coalesce("n_repeated", F.lit(0)))
+            .withColumn("repeated_frac_r4",
+                        F.round(F.col("n_repeated") / F.col("n_spans"), 4))
+            .select(id_col, "n_spans", "n_repeated", "repeated_frac_r4")
+            .orderBy(id_col))

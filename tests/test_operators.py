@@ -482,3 +482,28 @@ def test_lm_unigram_score(spark):
                                   "doc_id long, text string")
     assert {r["doc_id"]
             for r in lm_unigram_score(docs2).collect()} == {0}
+
+
+def test_repeated_spans_planted(spark):
+    """Exact-substring family: a span shared by two docs flags its
+    positions in both; a span repeated only WITHIN one doc does not
+    (that is repetition_signal's job); short docs drop out."""
+    from solr_indexer_spark.operators.textstats import repeated_spans
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 toks
+    docs = spark.createDataFrame(
+        [(0, shared + " iota kappa"),
+         (1, "one two three four five " + shared),
+         (2, "solo " + " ".join(["w%d" % i for i in range(9)])),
+         (3, "intra " + "x1 x2 x3 x4 x5 x6 x7 x8 " * 2),
+         (4, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_spans(docs, n=8).collect()}
+    assert 4 not in got                       # < 8 tokens: no spans
+    assert got[2]["n_repeated"] == 0          # unique text
+    assert got[0]["n_repeated"] >= 1          # shared span flagged
+    assert got[1]["n_repeated"] >= 1
+    # doc 3 repeats its own 8-gram but shares nothing across docs
+    assert got[3]["n_repeated"] == 0
+    for r in got.values():
+        assert 0.0 <= r["repeated_frac_r4"] <= 1.0
+        assert r["n_repeated"] <= r["n_spans"]
