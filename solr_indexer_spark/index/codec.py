@@ -454,41 +454,86 @@ def encode_group_blocks(term: str, shard: int, d: np.ndarray,
 def assign_doc_ids(docs: DataFrame, id_col: str) -> DataFrame:
     """Deterministic dense int64 ``doc_id`` by ascending ``id_col``.
 
-    Scalable pattern (no global window / single partition): range-
-    repartition on the id, sort within partitions, count per partition,
-    then add cumulative offsets per partition. Ordering by id means the
-    (score DESC, doc_id ASC) tie-break equals the (score, id) contract.
+    Scalable pattern (no global window / single partition), one WIDE
+    pass (VERDICT r4 #9 / PLANS.md §6 — the r4 version range-shuffled
+    the full doc rows twice: once for the offsets count, once for the
+    assignment):
+
+      1. A NARROW pass over the id column alone: range-partition the
+         ids, collect per-range (count, max-id). Only ids cross the
+         wire — at web scale ~1% of the corpus bytes.
+      2. Offsets = cumulative counts; the collected max-ids become
+         EXPLICIT range bounds. The wide rows then shuffle ONCE, hash-
+         partitioned on their bucket (CASE over the bounds), sorted
+         (bucket, id) within partitions, and the Arrow pass assigns
+         ``offset[bucket] + local rank``.
+
+    Determinism: ranks are exact per bucket (all rows of a bucket land
+    in one partition, sorted), so doc ids are a pure function of the id
+    VALUES — the bounds only steer balance. (The r4 double-shuffle
+    version additionally relied on two range-samplings agreeing.)
+    Ordering by id means the (score DESC, doc_id ASC) tie-break equals
+    the (score, id) contract.
     """
     n_parts = max(docs.rdd.getNumPartitions(), 1)
-    parted = (docs.repartitionByRange(n_parts, F.col(id_col))
-              .sortWithinPartitions(id_col))
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    counts = {r["_pid"]: r["cnt"] for r in
-              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
     spark = docs.sparkSession
+
+    # pass 1 (narrow): per-range counts + inclusive upper bounds
+    id_type = docs.schema[id_col].dataType
+    stats = (docs.select(F.col(id_col).alias("_id"))
+             .repartitionByRange(n_parts, F.col("_id"))
+             .withColumn("_pid", F.spark_partition_id())
+             .groupBy("_pid")
+             .agg(F.count("*").alias("cnt"), F.max("_id").alias("hi"))
+             .collect())
+    stats = sorted((r for r in stats if r["cnt"]), key=lambda r: r["_pid"])
+    offsets, acc = {}, 0
+    for i, r in enumerate(stats):
+        offsets[i] = acc
+        acc += int(r["cnt"])
+    n_buckets = max(len(stats), 1)
+
+    # bucket = index of the first range whose upper bound holds the id
+    bucket_col = F.lit(0)
+    if len(stats) > 1:
+        expr = None
+        for i, r in enumerate(stats[:-1]):
+            cond = F.col(id_col) <= F.lit(r["hi"]).cast(id_type)
+            expr = (F.when(cond, i) if expr is None
+                    else expr.when(cond, i))
+        bucket_col = expr.otherwise(len(stats) - 1)
+
+    parted = (docs.withColumn("_bucket", bucket_col.cast("int"))
+              .repartition(n_buckets, F.col("_bucket"))
+              .sortWithinPartitions("_bucket", id_col))
     boff = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + parted.schema.fields)
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [f for f in parted.schema.fields if f.name != "_bucket"])
 
     def add_ids(it):
-        base = None  # task-local: one task == one partition, many batches
+        # task-local per-bucket cursors: hash partitioning may co-locate
+        # several buckets in one task; rows arrive sorted (bucket, id)
+        next_id: dict = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            if base is None:
-                base = boff.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf.insert(0, "doc_id", np.arange(base, base + len(pdf), dtype=np.int64))
-            base += len(pdf)
+            bvals = pdf["_bucket"].to_numpy()
+            ids_out = np.empty(len(pdf), dtype=np.int64)
+            run_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(bvals)) + 1, [len(bvals)]))
+            for s, e in zip(run_starts[:-1], run_starts[1:]):
+                b = int(bvals[s])
+                base = next_id.get(b, boff.value[b])
+                ids_out[s:e] = np.arange(base, base + (e - s),
+                                         dtype=np.int64)
+                next_id[b] = base + (e - s)
+            pdf = pdf.drop(columns=["_bucket"])
+            pdf.insert(0, "doc_id", ids_out)
             yield pdf
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema)
+    return parted.mapInPandas(add_ids, schema=out_schema)
 
 
 def _encode_partition(avgdl: float):

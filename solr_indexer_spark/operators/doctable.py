@@ -168,11 +168,13 @@ class DocTable:
             .select(self.id_col)
         return self._append_tombstones(doomed)
 
-    def delete_where(self, condition: str) -> int:
-        """Delete-by-query (search.py:201-209): SQL predicate. The
-        matching ids flow straight into the tombstone table as a
-        distributed write — never through the driver."""
-        doomed = self.current().filter(F.expr(condition)).select(self.id_col)
+    def delete_where(self, condition) -> int:
+        """Delete-by-query (search.py:201-209): SQL predicate string or
+        a Column expression. The matching ids flow straight into the
+        tombstone table as a distributed write — never through the
+        driver."""
+        pred = F.expr(condition) if isinstance(condition, str) else condition
+        doomed = self.current().filter(pred).select(self.id_col)
         return self._append_tombstones(doomed)
 
     def update_set(self, match_ids: DataFrame, assignments: dict) -> int:

@@ -218,13 +218,24 @@ def training_sample(vectors: DataFrame, sample_size: int = 4096,
 
     Default: TakeOrdered(sample_size) by id — deterministic, one job,
     but the scan still touches every row. At 10⁹+ rows pass
-    ``fraction`` (e.g. 1e-5): a seeded Bernoulli TABLESAMPLE is applied
-    AT THE SCAN (narrow op, nothing materialized) and the deterministic
-    order-limit then runs over only fraction·N rows. The quantizer only
-    needs a representative sample, not an exact prefix."""
+    ``fraction`` (e.g. 1e-5): a CONTENT-deterministic modulus filter on
+    the md5 hash of the id is applied at the scan (narrow op, nothing
+    materialized) and the deterministic order-limit then runs over only
+    ~fraction·N rows. Content-hash selection (not Spark's seeded
+    Bernoulli sample) makes the sample a pure function of the DATA:
+    the same corpus at any partition count / cluster layout yields the
+    same sample, so quantizers trained on different cluster configs
+    never silently diverge (ADVICE r4: seeded ``.sample`` is
+    deterministic only for a fixed partition layout). ``seed`` salts
+    the hash. The quantizer only needs a representative sample, not an
+    exact prefix."""
     df = vectors.select(id_col, vec_col)
     if fraction is not None:
-        df = df.sample(withReplacement=False, fraction=fraction, seed=seed)
+        from .dedup import md5_hash60
+        m = max(1, int(round(1.0 / fraction)))
+        df = df.filter(F.pmod(md5_hash60(
+            F.concat(F.lit(f"ts{seed}:"), F.col(id_col).cast("string"))),
+            F.lit(m)) == 0)
     rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

