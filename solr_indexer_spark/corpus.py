@@ -123,3 +123,30 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_sha256_py(text: str | None) -> str:
     """Golden byte-identity fingerprint for the extraction invariant."""
     return hashlib.sha256((text or "").encode("utf-8")).hexdigest()
+
+
+def synth_embeddings_correlated(spark: SparkSession, n_vecs: int = 1500,
+                                dim: int = 16, seed: int = 9,
+                                rho: float = 0.95,
+                                n_partitions: int = 8) -> DataFrame:
+    """Anisotropic (block-covariance) embedding fixture (VERDICT r4
+    #8): the driver testdata embeddings are near-isotropic, so the
+    OPQ-vs-rotation-only gain is invisible end-to-end there. Here each
+    EVEN coordinate is a latent factor and the following ODD coordinate
+    is ``rho``-correlated with it — adjacent coordinate pairs are
+    nearly duplicated, so a PQ subspace split along raw (or randomly
+    rotated) coordinates wastes code budget on redundant directions,
+    while the full OPQ alternation can align the split with the
+    covariance. Deterministic (seeded numpy on the driver, test
+    scale); schema matches the testdata embeddings table
+    (vec_id, embedding)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_vecs, dim // 2))
+    X = np.empty((n_vecs, dim))
+    X[:, 0::2] = base
+    X[:, 1::2] = rho * base + (1 - rho) * rng.standard_normal(
+        (n_vecs, dim // 2))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<double>").repartition(n_partitions)

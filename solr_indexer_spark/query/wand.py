@@ -123,6 +123,76 @@ def _score_blocks_tfdl_map(it):
             })
 
 
+def _champion_pass_map(depth_by_qid: dict, acc=None):
+    """Pass-A decode with block-level skip pointers (VERDICT r4 #10 /
+    PLANS.md §6): each partition scans its champion-term blocks in
+    DESCENDING header-bound order (bound = w · max_tf/(max_tf + K1(1−b
+    + b·min_dl/avgdl)) — the same drift-safe bound pass B prunes with);
+    once the local top-``depth`` heap is full, any block whose bound
+    cannot beat the local depth-th partial is skipped UNDECODED.
+
+    Exactness: a skipped block's partials are all ≤ its bound < the
+    local depth-th best partial, so none can be among the local — a
+    fortiori the global — top-depth champion partials; θ seeded from
+    the survivors is unchanged. Only the local top-depth rows are
+    emitted (s desc; ties interchangeable — θ is the depth-th s VALUE
+    and any tie row is an equally valid carry pair), which also shrinks
+    the downstream 2k-window input from |postings| to ≤ depth·P rows.
+    Under tombstones the heap ignores deletions (unknown here), so θ
+    may come out lower than achievable — a valid, weaker bound; never
+    wrong. ``acc``: optional accumulator counting DECODED blocks (the
+    skip metric surfaced via debug_block_counts)."""
+    import heapq
+    from .. import B, K1
+
+    def fn(it):
+        by_q: dict = {}
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                by_q.setdefault(int(row.query_id), []).append(row)
+        for qid, rows in by_q.items():
+            depth = int(depth_by_qid.get(qid, 20))
+
+            def bound(r):
+                mt = float(r.max_tf)
+                return r.w * (mt / (mt + K1 * (1.0 - B
+                                               + B * float(r.min_dl)
+                                               / r.avgdl)))
+
+            rows.sort(key=bound, reverse=True)
+            heap: list = []
+            kept = []
+            for r in rows:
+                if len(heap) >= depth and bound(r) <= heap[0]:
+                    continue                    # skip block, undecoded
+                if acc is not None:
+                    acc.add(1)
+                d, tf, dl = decode_posting_block(r.docs, r.tfs, r.dls)
+                tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / r.avgdl))
+                s = r.w * tfnorm
+                kept.append((d, s, tf, dl))
+                for v in s:
+                    if len(heap) < depth:
+                        heapq.heappush(heap, float(v))
+                    elif v > heap[0]:
+                        heapq.heapreplace(heap, float(v))
+            if not kept:
+                continue
+            d = np.concatenate([x[0] for x in kept])
+            s = np.concatenate([x[1] for x in kept])
+            tf = np.concatenate([x[2] for x in kept])
+            dl = np.concatenate([x[3] for x in kept])
+            top = np.argsort(-s, kind="stable")[:depth]
+            yield pd.DataFrame({
+                "query_id": np.full(top.size, qid, dtype=np.int32),
+                "doc_id": d[top],
+                "s": s[top],
+                "tf": tf[top].astype(np.int64),
+                "dl": dl[top].astype(np.int64),
+            })
+    return fn
+
+
 def terms_hash(counts) -> str:
     """Canonical hash of a query's term multiset ({term: qtf}) —
     ThetaCache entries carry it so a REUSED query id whose text changed
@@ -552,11 +622,16 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                                   for qid, _, w, champ, _, _ in fresh])
             cblk = (bindex.blocks.join(F.broadcast(champ_qt), "term")
                     .withColumn("avgdl", F.lit(avgdl)))
+            acc = None
             if debug_block_counts is not None:
                 debug_block_counts["passA_blocks"] = cblk.count()
+                acc = spark.sparkContext.accumulator(0)
+            # skip-pointer champion pass: per-partition block-bound
+            # ordering + top-depth heap skips low-bound blocks undecoded
+            depth2 = {qid: 2 * (k + start) for qid, k in k_map.items()}
             cpart = cblk.select("query_id", "w", "docs", "tfs", "dls",
-                                "avgdl") \
-                .mapInPandas(_score_blocks_tfdl_map,
+                                "avgdl", "max_tf", "min_dl") \
+                .mapInPandas(_champion_pass_map(depth2, acc),
                              schema=_PARTIAL_TFDL_SCHEMA)
             if tombstones is not None:
                 # θ must be seeded over SURVIVING docs only: a
@@ -579,6 +654,10 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                           .select("query_id", "doc_id", "s", "tf", "dl",
                                   "_r")
                           .collect())
+            if acc is not None:
+                # blocks actually decoded after skip-pointer pruning
+                # (≤ passA_blocks; the gap is pass A's decode saving)
+                debug_block_counts["passA_blocks_decoded"] = acc.value
             champ_by_qid = {qid: champ for qid, _, _, champ, _, _ in fresh}
             for r in theta_rows:
                 if r["_r"] == k_map[r["query_id"]] + start:

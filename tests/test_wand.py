@@ -224,6 +224,34 @@ def test_batched_fused_rank_with_tombstones(spark, docs, qdf):
     assert not (set(victims) & {x["doc_id"] for x in batched})
 
 
+@pytest.mark.parametrize("shard_range", [512, 10**6])
+def test_champion_pass_skip_pointers(spark, shard_range):
+    """VERDICT r4 #10 / PLANS.md §6: on a long champion posting list
+    with skewed tf, pass A decodes strictly fewer blocks than it scans
+    headers for (low-bound blocks skipped via the per-partition heap
+    threshold), and ranking stays identical to the exact scorer."""
+    # 2000 docs all share both query terms; the first 256 carry tf=10
+    # for 'common' — their two blocks dominate every bound, the ~14
+    # tf=1 blocks are skippable once the depth heap fills
+    rows = [(i, ("common " * 10 if i < 256 else "common ") + "other")
+            for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_index(d, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=shard_range)
+    q = spark.createDataFrame([(1, "common other", 10)],
+                              "query_id int, query_text string, k int")
+    counts = {}
+    fast = topk_wand(q, bindex, theta_min_postings=0,
+                     debug_block_counts=counts).collect()
+    assert counts["passA_blocks"] > 2
+    assert 0 < counts["passA_blocks_decoded"] < counts["passA_blocks"]
+    exact = topk(q, index).collect()
+    assert [(r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in sorted(fast, key=lambda r: r["rank"])] == \
+           [(r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in sorted(exact, key=lambda r: r["rank"])]
+
+
 @pytest.mark.parametrize("shard_range", [128, 2048, 10**6])
 def test_fused_rank_large_tombstones_no_fallback(spark, docs, qdf,
                                                  monkeypatch,
