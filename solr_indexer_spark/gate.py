@@ -1172,6 +1172,33 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_spans(_docs(spark, sf_dir), n=8, min_df=2)
 
 
+def q_pii_signals(spark, sf_dir):
+    """PII detect + redact (r5): per doc_id a deterministically planted
+    text — plain (m=0), an email (m=1), or a phone + two IPs (m=2) —
+    runs through the real ``pii_signals`` operator (Java regex); the
+    oracle synthesizes the SAME text and runs DuckDB's RE2 engine over
+    the SAME patterns, so counts AND the redacted string are verified
+    across two independent regex engines."""
+    from .operators.textstats import pii_signals
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    m = did % 3
+    plain = F.concat(F.lit("plain row "), did.cast("string"))
+    email = F.concat(F.lit("contact a"), did.cast("string"), F.lit("@ex"),
+                     (did % 5).cast("string"), F.lit(".org now"))
+    phone_ip = F.concat(
+        F.lit("call 555-010-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0.1 twice 10."), (did % 256).cast("string"),
+        F.lit(".0.1"))
+    synth = d.select(
+        "doc_id",
+        F.when(m == 0, plain).when(m == 1, email).otherwise(phone_ip)
+        .alias("text"))
+    return pii_signals(synth).orderBy("doc_id")
+
+
 def q_payload_meta(spark, sf_dir):
     from .operators.multimodal import assets_from_docs
     return assets_from_docs(_docs(spark, sf_dir)) \
@@ -1648,10 +1675,13 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation flags combined on doc_id: deterministic
     split assignment + benchmark decontamination + corpus-internal
-    repeated-span coverage (exact-substring dedup family)."""
+    repeated-span coverage (exact-substring dedup family) + PII
+    detect/redact (r5 — Java-regex engine vs the oracle's RE2 on
+    planted emails/phones/IPs)."""
     return (q_split_by_hash(spark, sf_dir)
             .join(q_decontaminate(spark, sf_dir), "doc_id")
             .join(q_repeated_spans(spark, sf_dir), "doc_id")
+            .join(q_pii_signals(spark, sf_dir), "doc_id")
             .orderBy("doc_id"))
 
 
@@ -2237,10 +2267,49 @@ _SQL_ALL["repeated_spans"] = f"""
     ORDER BY per.doc_id
 """
 
+_SQL_ALL["pii_signals"] = r"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'plain row ' || doc_id::VARCHAR
+               WHEN 1 THEN 'contact a' || doc_id::VARCHAR || '@ex'
+                    || (doc_id % 5)::VARCHAR || '.org now'
+               ELSE 'call 555-010-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    || ' from 10.' || (doc_id % 256)::VARCHAR
+                    || '.0.1 twice 10.' || (doc_id % 256)::VARCHAR
+                    || '.0.1'
+             END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+           len(regexp_extract_all(t,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+           (len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(t,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+            + len(regexp_extract_all(t,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+             AS text_redacted
+    FROM p ORDER BY doc_id
+"""
+
 _SQL_ALL["curation_flags"] = f"""
     SELECT * FROM {_sub('split_by_hash')} a
     JOIN {_sub('decontaminate')} b USING (doc_id)
     JOIN {_sub('repeated_spans')} c USING (doc_id)
+    JOIN {_sub('pii_signals')} d USING (doc_id)
     ORDER BY doc_id
 """
 

@@ -223,6 +223,48 @@ def lm_unigram_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .orderBy(id_col))
 
 
+# PII patterns pinned once — written to the common subset of Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repeats, \b, non-capturing groups only. Redaction order is fixed
+# (email → phone → ipv4); the patterns cannot match inside each
+# other's replacement tokens.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_signals(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_emails, n_phones, n_ipv4, has_pii, text_redacted) — PII
+    detection + redaction, the scrub step every training-data pipeline
+    runs before release (emails/phones/IPs → typed placeholder tokens;
+    the reference's analogue is its sensitive-field scrub, which drops
+    raw html — SURVEY P14 — where web-scale curation must REDACT
+    in-place). Counts are per-pattern match totals; ``has_pii`` is the
+    routing flag.
+
+    Scale: pure per-row JVM regex projections (regexp_extract_all /
+    chained regexp_replace) — zero shuffle, zero Python, linear scan;
+    the plan is a single whole-stage-codegen projection at any corpus
+    size."""
+    t = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ipv4"),
+        ((n_em + n_ph + n_ip) > 0).alias("has_pii"),
+        red.alias("text_redacted"))
+
+
 def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                    n: int = 8, min_df: int = 2) -> DataFrame:
     """(id, n_spans, n_repeated, repeated_frac_r4) — corpus-internal

@@ -554,6 +554,32 @@ def test_lm_unigram_plan_never_broadcasts_vocab(spark):
     assert plan.count("BroadcastExchange") <= 1, plan
 
 
+def test_pii_signals_planted(spark):
+    """PII detect/redact: emails, phones (both separators), IPv4 —
+    counted on the original text and redacted to typed placeholders;
+    PII-free rows pass through byte-identical."""
+    from solr_indexer_spark.operators.textstats import pii_signals
+    docs = spark.createDataFrame(
+        [(0, "no pii here at all"),
+         (1, "mail bob.smith+tag@sub.example.co.uk and carol@x.io"),
+         (2, "call 555-123-4567 or 555.987.6543 now"),
+         (3, "server 192.168.0.1 and 10.0.0.255"),
+         (4, "mixed a@b.com 555-111-2222 8.8.8.8")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_signals(docs).collect()}
+    assert got[0]["has_pii"] is False
+    assert got[0]["text_redacted"] == "no pii here at all"
+    assert got[1]["n_emails"] == 2
+    assert "@" not in got[1]["text_redacted"]
+    assert got[1]["text_redacted"].count("<EMAIL>") == 2
+    assert got[2]["n_phones"] == 2
+    assert got[2]["text_redacted"] == "call <PHONE> or <PHONE> now"
+    assert got[2]["n_ipv4"] == 0          # dotted phone is NOT an IP
+    assert got[3]["n_ipv4"] == 2
+    assert got[4]["has_pii"] is True
+    assert got[4]["text_redacted"] == "mixed <EMAIL> <PHONE> <IP>"
+
+
 def test_repeated_spans_planted(spark):
     """Exact-substring family: a span shared by two docs flags its
     positions in both; a span repeated only WITHIN one doc does not
