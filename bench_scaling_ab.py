@@ -16,9 +16,13 @@ fixed-overhead-bound — see BENCH.md).
 r5 hardening (VERDICT r4 #4 — the r4 record's 0.81 best-of-3 sat one
 bad draw above the ≥0.8 bar): per-task work doubled (replicate 100 →
 500k docs ×8 text, so fixed task overheads amortize over ~2× the
-compute) AND best-of-5 per level, interleaved (hi lo lo hi hi lo lo hi
+compute), best-of-5 per level, interleaved (hi lo lo hi hi lo lo hi
 hi lo) — five draws per level make the best-of robust to any single
-bucket dip.
+bucket dip — AND a fixed idle (``--probe-cooldown``, default 25 s)
+before EVERY measured probe: the ten probes burn ~45 core-seconds
+each, so without per-probe refill the sequence itself drains the
+bucket and the later draws of the level measured later read
+systematically slow (a 0.778 artifact measured exactly this way).
 
 Usage: python bench_scaling_ab.py [--low 2] [--high 8] [--replicate 100]
 Prints one JSON line with both walls and efficiency = speedup / ratio.
@@ -43,6 +47,7 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--replicate", type=int, default=100)
     ap.add_argument("--text-mult", type=int, default=8)
+    ap.add_argument("--probe-cooldown", type=float, default=25.0)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -75,6 +80,7 @@ def main() -> None:
     order = [args.high, args.low, args.low, args.high, args.high,
              args.low, args.low, args.high, args.high, args.low]
     for p in order:
+        time.sleep(args.probe_cooldown)  # per-probe bucket refill
         best[p] = min(best[p], probe(variants[p]))
 
     ratio = args.high / args.low
