@@ -103,11 +103,15 @@ def _phrase_pred(toks_col, phrase: list[str]):
 
 
 def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
-                  pos_postings: DataFrame | None = None) -> DataFrame:
+                  pos_postings: DataFrame | None = None,
+                  tombstones: DataFrame | None = None) -> DataFrame:
     """Run a query-string search against an InvertedIndex + its doc
     table. Returns (<id>, score, rank). Gates (must/must_not/phrase/
     field filters) restrict the candidate set; BM25 over the scored
     terms ranks it; an all-gate query (no scored terms) ranks by id.
+    ``tombstones`` (deleted-docs bitmap, r5): deleted ids are excluded
+    from the ranked set before the top-k, the same contract as topk /
+    topk_wand / search_tree.
 
     With ``pos_postings`` (a positional index from
     index/positions.py:positional_postings), phrase gates run as
@@ -120,7 +124,8 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
         # tree engine (qtree.py); simple ±term/phrase/field queries keep
         # this flat path (identical results, fewer joins)
         from .qtree import search_tree
-        return search_tree(q, docs, index, k=k, pos_postings=pos_postings)
+        return search_tree(q, docs, index, k=k, pos_postings=pos_postings,
+                           tombstones=tombstones)
     pq = parse_query(q)
     id_col = index.id_col
     spark = docs.sparkSession
@@ -184,6 +189,11 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
     # (per-partition bounded heap + driver merge of k rows) — no global
     # single-partition window over the full match set. The rank column
     # is then numbered over only the k surviving rows.
+    if tombstones is not None:
+        # deleted-docs bitmap: excluded before ranking
+        scored = scored.join(F.broadcast(tombstones.select(id_col)),
+                             id_col, "left_anti")
+
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(k)

@@ -514,8 +514,16 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 wildcard_top_terms: int | None = None,
                 fuzzy_scored: bool = False,
                 fuzzy_max_expansions: int = 50,
-                fq: str | None = None) -> DataFrame:
+                fq: str | None = None,
+                tombstones: DataFrame | None = None) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
+
+    ``tombstones`` (1-column id frame, Lucene deleted-docs bitmap
+    semantics — r5): deleted ids are anti-joined out of the MATCH set
+    before scoring/ranking, the same contract as ``topk``/``topk_wand``
+    — without it a boolean/phrase/wildcard query against a corpus with
+    deletes silently returned deleted documents while the free-text
+    path filtered them.
 
     score = BM25 over the tree's positive text terms. Wildcards follow
     Lucene's MultiTermQuery rewrites: CONSTANT_SCORE by default
@@ -589,6 +597,10 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
         # tree runs through the same executor, then a semi-join
         matched = matched.join(ex.match_ids(parse_tree(fq)),
                                id_col, "left_semi")
+    if tombstones is not None:
+        # deleted-docs bitmap: excluded before scoring/ranking
+        matched = matched.join(F.broadcast(tombstones.select(id_col)),
+                               id_col, "left_anti")
     # explicit terms keep additive qtf semantics (term^w boosts sum);
     # a fuzzy expansion that COINCIDES with an explicit query term (the
     # 'term term~1' shape) blends max-wise, never additively — Lucene's

@@ -299,6 +299,46 @@ def test_streamed_positional_respects_tombstones(spark, pages, tmp_path):
     assert all(r["batch_id"] == 1 for r in rows)
 
 
+def test_boolean_tree_respects_tombstones(spark, pages, tmp_path):
+    """r5: the boolean-tree query path takes tombstones with the same
+    deleted-docs-bitmap contract as topk/topk_wand — before, a
+    Lucene-syntax query over a corpus with deletes silently returned
+    superseded document versions that the free-text path filtered."""
+    from solr_indexer_spark.query.parser import search_lucene
+    base = str(tmp_path / "sidx")
+    ing = StreamingIndexIngest(base, shard_range=128, group_size=8)
+    batch1 = pages.filter(F.col("text").isNotNull() &
+                          (F.trim("text") != "")).limit(30).cache()
+    ing.process_batch(batch1, 0)
+    recrawl = (batch1.limit(10)
+               .withColumn("html", F.concat(
+                   F.col("html"),
+                   F.lit(" <p>fresh revision</p>").cast("binary")))
+               .withColumn("warc_ts", F.lit("2025-01-01T00:00:00"))
+               .drop("text", "text_sha256"))
+    ing.process_batch(recrawl, 1)
+    tomb = ing.tombstones(spark)
+    dead = {r["doc_id"] for r in tomb.collect()}
+    assert len(dead) == 10
+    view = ing.load(spark).as_logical_index()
+    doc_map = ing.doc_map(spark)
+    docs_frame = doc_map.select("doc_id")
+
+    q = "(term0000 OR term0001)"           # parens → boolean-tree path
+    stale = search_lucene(q, docs_frame, view, k=100).collect()
+    live = search_lucene(q, docs_frame, view, k=100,
+                         tombstones=tomb).collect()
+    # without tombstones both versions of a recrawled url rank;
+    # with them every superseded id is gone and no url repeats
+    assert {r["doc_id"] for r in stale} & dead
+    assert not ({r["doc_id"] for r in live} & dead)
+    urls = [r["url"] for r in
+            spark.createDataFrame([(r["doc_id"],) for r in live],
+                                  "doc_id long")
+            .join(doc_map, "doc_id").collect()]
+    assert len(urls) == len(set(urls))
+
+
 def test_theta_carry_over_multi_segment(spark, pages, tmp_path):
     """VERDICT r2 #7: θ carried across segment generations. After an
     append (corpus stats drift), a cached query re-seeds θ₀ from the
