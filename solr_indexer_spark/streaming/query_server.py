@@ -43,11 +43,15 @@ class QueryServer:
         self.out_dir = out_dir
         self.tombstones = tombstones
         os.makedirs(out_dir, exist_ok=True)
-        # θ cache only helps when pass A can be skipped — disabled
-        # automatically alongside tombstones (see ThetaCache soundness)
+        # θ carry is sound UNDER tombstones since r3: carried entries
+        # hold (doc_id, tf, dl) triples and topk_wand revalidates them
+        # against the tombstone table with one tiny anti-join (killed
+        # docs drop out; < k survivors falls back to pass A) — so the
+        # cache stays on for a serving index with deletes, exactly
+        # where the pass-A skip matters most (r5; the r2-era guard
+        # disabled it whenever tombstones existed)
         self.theta_cache = (ThetaCache(os.path.join(out_dir, "_theta.json"))
-                            if use_theta_cache and tombstones is None
-                            else None)
+                            if use_theta_cache else None)
         self.theta_min_postings = theta_min_postings
         self.batches_served = 0
         self.batch_walls: list[float] = []   # per-batch serve seconds

@@ -116,6 +116,42 @@ def test_query_server_stream(spark, tmp_path):
     assert served_wall < 45
 
 
+def test_query_server_theta_cache_with_tombstones(spark, tmp_path):
+    """r5: the θ cache stays ON for a serving index with deletes —
+    carried entries revalidate against the tombstone table inside
+    topk_wand (r3 soundness), so repeated queries skip pass A while
+    answers stay identical to direct calls under the same tombstones.
+    (The r2-era server guard disabled the cache whenever tombstones
+    existed — exactly the serving shape that needs it.)"""
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.codec import build_block_index
+    from solr_indexer_spark.query.wand import topk_wand
+    from solr_indexer_spark.streaming.query_server import (
+        QUERY_SCHEMA, QueryServer)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bindex = build_block_index(build_index(docs, id_col="doc_id"),
+                               shard_range=4096)
+    tomb = spark.createDataFrame([(7,), (11,)], "doc_id long")
+    srv = QueryServer(bindex, str(tmp_path / "qsrv"), tombstones=tomb,
+                      theta_min_postings=0)
+    srv.warm()
+    assert srv.theta_cache is not None
+    batch = spark.createDataFrame(
+        [(1, "batch small scan", 10)], QUERY_SCHEMA)
+    srv.process_batch(batch, 0)
+    assert srv.theta_cache.load()          # carry persisted batch 0
+    srv.process_batch(batch, 1)
+    res = srv.results(spark).filter("batch_id = 1")
+    direct = topk_wand(batch, bindex, tombstones=tomb,
+                       theta_min_postings=0)
+    got = sorted((r["query_id"], r["rank"], r["doc_id"],
+                  round(r["score"], 6)) for r in res.collect())
+    want = sorted((r["query_id"], r["rank"], r["doc_id"],
+                   round(r["score"], 6)) for r in direct.collect())
+    assert got == want and got
+    assert not ({7, 11} & {d for _, _, d, _ in got})
+
+
 def test_query_server_rate_soak(spark, tmp_path):
     """VERDICT r3 #9 soak: a rate-source feed drives ≥20 micro-batches
     through the warmed server. Asserts exactly-once per-batch results
