@@ -208,26 +208,51 @@ def _decode_positions_udf(blobs: pd.Series) -> pd.Series:
         decode_stream(bytes(b)).astype(np.int64)).astype(np.int32).tolist())
 
 
+N_TERM_BUCKETS = 64
+
+
+def term_bucket_py(term: str, n: int = N_TERM_BUCKETS) -> int:
+    """Driver-side mirror of the Spark-side bucket expression
+    ``pmod(crc32(term), n)`` — zlib.crc32 over UTF-8 bytes, exactly
+    Spark's crc32 semantics (pinned by a test)."""
+    import zlib
+    return zlib.crc32(term.encode("utf-8")) % n
+
+
+def term_bucket_col(term_col, n: int = N_TERM_BUCKETS):
+    return F.pmod(F.crc32(term_col.cast("string")), F.lit(n)).cast("int")
+
+
 def phrase_match_positions_compressed(pos_comp: DataFrame,
                                       phrase: list[str],
                                       id_col: str = "doc_id",
                                       slop: int = 0) -> DataFrame:
     """Same positional intersection as phrase_match_positions, reading
     the compressed table — only the phrase terms' rows are ever
-    decoded (Arrow-batched)."""
+    decoded (Arrow-batched). When the table carries a ``tbucket``
+    column (the streaming writer's term-hash layout), each term's
+    filter also pins its bucket, so the scan prunes to 1/N of the
+    positional files at the PARTITION level (directory pruning —
+    without it a phrase query at web scale reads the whole positional
+    index and filters)."""
     spark = pos_comp.sparkSession
     if not phrase:
         return spark.createDataFrame([], f"{id_col} long")
+    bucketed = "tbucket" in pos_comp.columns
 
     def shift_by(off: int):
         return lambda p: p - F.lit(off)
 
     sides = []
     for i, term in enumerate(phrase):
-        side = (pos_comp.filter(F.col("term") == term)
-                .select(F.col(id_col),
-                        F.transform(_decode_positions_udf(F.col("pos_blob")),
-                                    shift_by(i)).alias(f"_p{i}")))
+        side = pos_comp.filter(F.col("term") == term)
+        if bucketed:
+            side = side.filter(
+                F.col("tbucket") == F.lit(term_bucket_py(term)))
+        side = side.select(
+            F.col(id_col),
+            F.transform(_decode_positions_udf(F.col("pos_blob")),
+                        shift_by(i)).alias(f"_p{i}"))
         sides.append(side)
     joined = reduce(lambda a, b: a.join(b, id_col), sides)
     if slop > 0 and len(set(phrase)) < len(phrase):

@@ -164,10 +164,20 @@ class StreamingIndexIngest:
             # batch's doc-id range is disjoint from every earlier
             # batch's, so the union of segments is exactly the
             # positional index a batch build over all docs would emit.
-            from ..index.positions import positional_postings_compressed
-            positional_postings_compressed(docs, id_col="doc_id") \
-                .write.mode("overwrite").parquet(
-                    self._batch_dir("positions", batch_id))
+            # term-hash bucket layout (r5): the segment is partitioned
+            # by pmod(crc32(term), 64), so a phrase query prunes to
+            # 1/64 of the positional files per term at the DIRECTORY
+            # level (phrase_match_positions_compressed pins the bucket
+            # in its filter) — without it a phrase at web scale scans
+            # the whole positional index
+            from ..index.positions import (
+                positional_postings_compressed, term_bucket_col)
+            (positional_postings_compressed(docs, id_col="doc_id")
+             .withColumn("tbucket", term_bucket_col(F.col("term")))
+             .repartition("tbucket")
+             .sortWithinPartitions("term")
+             .write.mode("overwrite").partitionBy("tbucket")
+             .parquet(self._batch_dir("positions", batch_id)))
         docs.select("doc_id", "url").write.mode("overwrite").parquet(
             self._batch_dir("doc_map", batch_id))
         # running corpus totals are the source of truth; corpus_stats

@@ -270,6 +270,28 @@ def test_streamed_positional_segments_phrase_identity(spark, pages,
         # streamed-in (batch 1) docs ARE phrase-visible
         assert {r["batch_id"] for r in rows} == {0, 1}
 
+    # r5 term-bucket layout: each phrase term's scan pins its hash
+    # bucket so the read prunes positional files at the PARTITION level
+    import re
+    from solr_indexer_spark.index.positions import phrase_match as pm
+    plan = pm(pos, ["term0000", "term0001"], slop=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*tbucket", plan), plan
+
+
+def test_term_bucket_spark_python_parity(spark):
+    """The driver-side bucket (zlib.crc32 % N) must equal the
+    Spark-side pmod(crc32(term), N) for the pruning filter to be
+    correct — pinned here over ASCII and non-ASCII terms."""
+    from solr_indexer_spark.index.positions import (
+        term_bucket_col, term_bucket_py)
+    terms = ["term0000", "a", "zzz", "uniq00000047", "straße", "πψ"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["b"] for r in
+           df.select("term",
+                     term_bucket_col(F.col("term")).alias("b")).collect()}
+    assert got == {t: term_bucket_py(t) for t in terms}
+
 
 def test_streamed_positional_respects_tombstones(spark, pages, tmp_path):
     """Recrawled urls: the phrase path applies the SAME tombstone
