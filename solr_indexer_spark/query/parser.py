@@ -104,7 +104,8 @@ def _phrase_pred(toks_col, phrase: list[str]):
 
 def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
                   pos_postings: DataFrame | None = None,
-                  tombstones: DataFrame | None = None) -> DataFrame:
+                  tombstones: DataFrame | None = None,
+                  start: int = 0) -> DataFrame:
     """Run a query-string search against an InvertedIndex + its doc
     table. Returns (<id>, score, rank). Gates (must/must_not/phrase/
     field filters) restrict the candidate set; BM25 over the scored
@@ -125,7 +126,7 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
         # this flat path (identical results, fewer joins)
         from .qtree import search_tree
         return search_tree(q, docs, index, k=k, pos_postings=pos_postings,
-                           tombstones=tombstones)
+                           tombstones=tombstones, start=start)
     pq = parse_query(q)
     id_col = index.id_col
     spark = docs.sparkSession
@@ -196,12 +197,14 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
 
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
-    top = scored.orderBy(*order).limit(k)
+    # Solr `start` paging (r5 parity): rows (start, start+k], absolute ranks
+    top = scored.orderBy(*order).limit(start + k)
     # unpartitioned Window is safe here: it runs AFTER the
-    # orderBy+limit(k) (TakeOrderedAndProject), so it numbers only
+    # orderBy+limit (TakeOrderedAndProject), so it numbers only
     # <= start+k rows — the WindowExec single-partition warning it
-    # logs is about those k rows, not the corpus
+    # logs is about those rows, not the corpus
     w = Window.orderBy(*order)
     return (top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") > F.lit(start))
             .select(id_col, "score", "rank")
             .orderBy("rank"))

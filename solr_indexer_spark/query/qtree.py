@@ -29,9 +29,10 @@ Grammar (classic Lucene QueryParser subset):
                         rewrite via fuzzy_scored=True)
 
 search_tree also takes the Solr request params around the q string:
-``fq`` (filter query — restricts matches, never scores) and ``k``
-(rows); paging (start) and field sorting live on the scorer/wand side
-(scorer.topk(start=), topk_wand(start=), scorer.topk_sorted).
+``fq`` (filter query — restricts matches, never scores), ``k`` (rows),
+``start`` (paging offset — rows (start, start+k] with absolute ranks,
+r5 parity with scorer.topk/topk_wand), and ``tombstones`` (deleted-docs
+bitmap); field sorting lives on the scorer side (scorer.topk_sorted).
 
 Matching semantics per boolean group (Lucene BooleanQuery):
 docs match all MUST clauses, none of the MUST_NOT clauses, and — when
@@ -515,7 +516,8 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 fuzzy_scored: bool = False,
                 fuzzy_max_expansions: int = 50,
                 fq: str | None = None,
-                tombstones: DataFrame | None = None) -> DataFrame:
+                tombstones: DataFrame | None = None,
+                start: int = 0) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
 
     ``tombstones`` (1-column id frame, Lucene deleted-docs bitmap
@@ -621,12 +623,15 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
 
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
-    top = scored.orderBy(*order).limit(k)
+    # Solr `start` paging (r5 parity with topk/topk_wand): rows
+    # (start, start+k] with ABSOLUTE ranks
+    top = scored.orderBy(*order).limit(start + k)
     # unpartitioned Window is safe here: it runs AFTER the
-    # orderBy+limit(k) (TakeOrderedAndProject), so it numbers only
+    # orderBy+limit (TakeOrderedAndProject), so it numbers only
     # <= start+k rows — the WindowExec single-partition warning it
-    # logs is about those k rows, not the corpus
+    # logs is about those rows, not the corpus
     w = Window.orderBy(*order)
     return (top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") > F.lit(start))
             .select(id_col, "score", "rank")
             .orderBy("rank"))

@@ -342,3 +342,28 @@ def test_parser_never_raises_on_arbitrary_strings():
         positive_terms(g)                  # weight extraction too
 
     check()
+
+
+def test_search_tree_paging_start(spark, corpus):
+    """r5: Solr `start` paging on the boolean-tree path — page rows
+    carry ABSOLUTE ranks and equal the corresponding slice of the
+    unpaged result (parity with scorer.topk/topk_wand paging)."""
+    from solr_indexer_spark.query.qtree import search_tree
+    docs, index = corpus
+    q = "(value OR table) AND scan"
+    full = {r["rank"]: (r["doc_id"], round(r["score"], 6))
+            for r in search_tree(q, docs, index, k=10).collect()}
+    page2 = search_tree(q, docs, index, k=5, start=5).collect()
+    assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
+    for r in page2:
+        assert full[r["rank"]] == (r["doc_id"], round(r["score"], 6))
+    # flat parser path pages identically
+    from solr_indexer_spark.query.parser import search_lucene
+    flat_full = {r["rank"]: (r["doc_id"], round(r["score"], 6))
+                 for r in search_lucene("value table", docs, index,
+                                        k=10).collect()}
+    flat2 = search_lucene("value table", docs, index, k=5,
+                          start=5).collect()
+    assert [r["rank"] for r in flat2] == [6, 7, 8, 9, 10]
+    for r in flat2:
+        assert flat_full[r["rank"]] == (r["doc_id"], round(r["score"], 6))
