@@ -3,7 +3,9 @@
   spark-submit --py-files solr_indexer_spark.zip jobs/build_index_job.py \\
       --input  /data/pages_parquet \\
       --output /data/index \\
-      [--id-col url] [--shard-range 131072] [--group-size 8] [--run-id r1]
+      [--id-col url] [--shard-range 131072] [--group-size 8] [--run-id r1] \\
+      [--positions]   (also persist the compressed positional store —
+                       phrase/slop queries then run from the cold index)
 
 Re-running after a kill resumes from the per-shard checkpoint manifest.
 Exit code follows the reference contract (solrindexer/cli.py:270-276):
@@ -32,6 +34,7 @@ def main(argv=None) -> int:
     ap.add_argument("--shard-range", type=int, default=131072)
     ap.add_argument("--group-size", type=int, default=8)
     ap.add_argument("--run-id", default="run")
+    ap.add_argument("--positions", action="store_true")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.getOrCreate()
@@ -43,7 +46,8 @@ def main(argv=None) -> int:
         assign_doc_ids(good, id_col=args.id_col)
     build = ResumableIndexBuild(args.output, run_id=args.run_id,
                                 shard_range=args.shard_range,
-                                group_size=args.group_size)
+                                group_size=args.group_size,
+                                positions=args.positions)
     counters = build.run(docs)
     print(f"index build complete: {counters}")
     if args.id_col != "doc_id":

@@ -2,10 +2,13 @@
 
   spark-submit --py-files solr_indexer_spark.zip jobs/query_job.py \\
       --index /data/index \\
-      --query "climate data" [--k 10] [--output /data/hits]
+      --query "climate data" [--k 10] [--output /data/hits] [--lucene]
 
 Prints (or writes) (query_id, doc_id, score, rank); joins back the
-original id column when the build produced a doc_map.
+original id column when the build produced a doc_map. With --lucene
+each query string runs through the boolean query-string engine
+(grouping, AND/OR/NOT, ranges, wildcards, phrases — phrase gates use
+the persisted positional store when the build ran with --positions).
 """
 
 from __future__ import annotations
@@ -27,14 +30,32 @@ def main(argv=None) -> int:
                     help="repeatable; one top-k run per query")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--output", default=None)
+    ap.add_argument("--lucene", action="store_true",
+                    help="boolean query-string engine (qtree) per query")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.getOrCreate()
-    bindex = ResumableIndexBuild(args.index).load(spark)
-    queries = spark.createDataFrame(
-        [(i, q, args.k) for i, q in enumerate(args.query)],
-        "query_id int, query_text string, k int")
-    hits = topk_wand(queries, bindex)
+    build = ResumableIndexBuild(args.index)
+    bindex = build.load(spark)
+    if args.lucene:
+        from solr_indexer_spark.query.parser import search_lucene
+        view = bindex.as_logical_index()
+        pos = build.load_positional(spark)
+        docs_frame = view.postings.select("doc_id").distinct()
+        parts = []
+        for i, q in enumerate(args.query):
+            one = search_lucene(q, docs_frame, view, k=args.k,
+                                pos_postings=pos) \
+                .withColumn("query_id", F.lit(i))
+            parts.append(one.select("query_id", "doc_id", "score", "rank"))
+        hits = parts[0]
+        for x in parts[1:]:
+            hits = hits.unionByName(x)
+    else:
+        queries = spark.createDataFrame(
+            [(i, q, args.k) for i, q in enumerate(args.query)],
+            "query_id int, query_text string, k int")
+        hits = topk_wand(queries, bindex)
     try:
         doc_map = spark.read.parquet(f"{args.index}/doc_map")
         hits = hits.join(F.broadcast(doc_map), "doc_id", "left")

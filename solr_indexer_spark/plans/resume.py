@@ -34,11 +34,18 @@ class ResumableIndexBuild:
 
     def __init__(self, base_dir: str, run_id: str = "run",
                  shard_range: int = DEFAULT_SHARD_RANGE,
-                 group_size: int = 4):
+                 group_size: int = 4, positions: bool = False):
         self.base_dir = base_dir
         self.run_id = run_id
         self.shard_range = shard_range
         self.group_size = group_size
+        # r5: also persist compressed positional postings per shard
+        # group (Solr/Lucene always index positions; without a store a
+        # cold-loaded batch index answers phrase queries only by
+        # re-tokenizing the corpus). Same dynamic-partition-overwrite
+        # idempotence as the block files; term-hash bucket layout for
+        # directory-level pruning (index/positions.py).
+        self.positions = positions
         self.manifest = Manifest(base_dir)
 
     # -- build ---------------------------------------------------------
@@ -88,6 +95,19 @@ class ResumableIndexBuild:
             (blocks.write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(self.base_dir, "blocks")))
             blocks.unpersist()
+            if self.positions:
+                from ..index.positions import (
+                    positional_postings_compressed, term_bucket_col)
+                pos = positional_postings_compressed(sub, id_col="doc_id")
+                (pos.withColumn(
+                        "shard",
+                        (F.col("doc_id") / F.lit(self.shard_range))
+                        .cast("long"))
+                 .withColumn("tbucket", term_bucket_col(F.col("term")))
+                 .repartition("shard", "tbucket")
+                 .sortWithinPartitions("term")
+                 .write.mode("overwrite").partitionBy("shard", "tbucket")
+                 .parquet(os.path.join(self.base_dir, "positions")))
             self.manifest.commit([
                 PartitionCheckpoint(
                     run_id=self.run_id, partition_id=int(r["shard"]),
@@ -116,3 +136,16 @@ class ResumableIndexBuild:
         return BlockIndex(blocks=blocks, term_stats=term_stats,
                           corpus_stats=corpus, doc_map=None, id_col="doc_id",
                           n_docs=int(row["n_docs"]), avgdl=float(row["avgdl"]))
+
+    def load_positional(self, spark: SparkSession):
+        """The persisted positional store (term, doc_id, pos_blob,
+        n_pos, shard, tbucket) restricted to manifest-done shards —
+        feed straight to index.positions.phrase_match (dispatches on
+        pos_blob; pins tbucket per term for directory pruning). None
+        when the build ran without ``positions=True``."""
+        d = os.path.join(self.base_dir, "positions")
+        if not os.path.exists(d):
+            return None
+        done = sorted(self.manifest.done_partitions())
+        return (spark.read.parquet(d)
+                .filter(F.col("shard").isin([int(s) for s in done])))

@@ -91,3 +91,43 @@ def test_loaded_index_queryable_and_stats_correct(spark, docs, tmp_path):
                               "query_id int, query_text string, k int")
     hits = topk_wand(q, bindex).collect()
     assert len(hits) == 10 and hits[0]["rank"] == 1
+
+
+def test_persisted_positional_store_kill_resume(spark, docs, tmp_path):
+    """r5: positions=True persists compressed positional postings per
+    shard group under the same manifest/overwrite contract as blocks —
+    a kill/resume yields a store identical to an uninterrupted build,
+    and phrase matches from the COLD store equal the on-the-fly
+    positional index (no corpus re-tokenization at query time)."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match, positional_postings)
+    clean = ResumableIndexBuild(str(tmp_path / "pclean"), run_id="p0",
+                                shard_range=SHARD_RANGE, group_size=3,
+                                positions=True)
+    clean.run(docs)
+    killed = ResumableIndexBuild(str(tmp_path / "pkill"), run_id="p1",
+                                 shard_range=SHARD_RANGE, group_size=3,
+                                 positions=True)
+    killed.run(docs, max_groups=1)
+    resumed = ResumableIndexBuild(str(tmp_path / "pkill"), run_id="p2",
+                                  shard_range=SHARD_RANGE, group_size=3,
+                                  positions=True)
+    resumed.run(docs)
+
+    def sig(build):
+        pos = build.load_positional(spark)
+        return sorted((r["term"], r["doc_id"], bytes(r["pos_blob"]),
+                       r["n_pos"]) for r in pos.collect())
+
+    assert sig(clean) == sig(resumed)
+
+    pos_store = resumed.load_positional(spark)
+    assert "tbucket" in pos_store.columns
+    ref_pos = positional_postings(docs, id_col="doc_id")
+    for phrase, slop in ((["term0000", "term0001"], 3),
+                         (["term0000", "term0000"], 4)):
+        got = {r["doc_id"] for r in
+               phrase_match(pos_store, phrase, slop=slop).collect()}
+        want = {r["doc_id"] for r in
+                phrase_match(ref_pos, phrase, slop=slop).collect()}
+        assert got == want and want
