@@ -7,8 +7,12 @@
 Prints (or writes) (query_id, doc_id, score, rank); joins back the
 original id column when the build produced a doc_map. With --lucene
 each query string runs through the boolean query-string engine
-(grouping, AND/OR/NOT, ranges, wildcards, phrases — phrase gates use
-the persisted positional store when the build ran with --positions).
+(grouping, AND/OR/NOT, wildcards, fuzzy, boosts; phrase/slop gates
+need the persisted positional store — build with --positions — since
+the cold index has no corpus to re-tokenize). field:value / range
+clauses resolve against the doc_map columns (doc_id + the original id
+column); clauses naming other stored fields need a doc table this job
+does not carry and fail with Spark's unresolved-column error.
 """
 
 from __future__ import annotations
@@ -41,7 +45,16 @@ def main(argv=None) -> int:
         from solr_indexer_spark.query.parser import search_lucene
         view = bindex.as_logical_index()
         pos = build.load_positional(spark)
-        docs_frame = view.postings.select("doc_id").distinct()
+        try:
+            # doc_map carries (doc_id, original id col) — the doc frame
+            # for field:value clauses on the id column
+            docs_frame = spark.read.parquet(f"{args.index}/doc_map")
+        except Exception:
+            docs_frame = view.postings.select("doc_id").distinct()
+        # several queries × several actions each — pay the postings
+        # scan / parquet read once
+        docs_frame = docs_frame.cache()
+        docs_frame.count()
         parts = []
         for i, q in enumerate(args.query):
             one = search_lucene(q, docs_frame, view, k=args.k,

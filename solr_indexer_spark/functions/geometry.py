@@ -377,8 +377,11 @@ def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
     r5 (VERDICT r4 #6): hole-free shells with ≥2 proper crossings are
     repaired by :func:`repair_multicross_ring` — full arrangement
     noding + GEOS's winding rule (CCW faces survive as shells, CW
-    pockets inside them become holes, CW lobes outside are dropped),
-    emitting POLYGON or MULTIPOLYGON as the face count dictates.
+    lobes outside every shell are dropped), emitting POLYGON or
+    MULTIPOLYGON as the face count dictates. A CW pocket strictly
+    INSIDE a shell (buffer(0) would carve a hole) is deliberately NOT
+    repaired — it takes the ledgered pass-through below (the
+    conservative tail, see repair_multicross_ring).
 
     The remaining HARDER invalidity tail (same-winding/overlapping
     lobes where buffer(0) would UNION, holes present on the invalid

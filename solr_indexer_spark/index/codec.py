@@ -459,49 +459,61 @@ def assign_doc_ids(docs: DataFrame, id_col: str) -> DataFrame:
     the full doc rows twice: once for the offsets count, once for the
     assignment):
 
-      1. A NARROW pass over the id column alone: range-partition the
-         ids, collect per-range (count, max-id). Only ids cross the
-         wire — at web scale ~1% of the corpus bytes.
-      2. Offsets = cumulative counts; the collected max-ids become
-         EXPLICIT range bounds. The wide rows then shuffle ONCE, hash-
-         partitioned on their bucket (CASE over the bounds), sorted
+      1. NARROW passes over the id column alone (only ids cross the
+         wire — at web scale ~1% of the corpus bytes): (a) a
+         range-partition sampling collects candidate split bounds
+         (per-range max ids); (b) one map-side-combinable aggregation
+         counts rows per bucket USING THE SAME CASE expression the
+         wide pass routes with — so offsets and routing agree BY
+         CONSTRUCTION for every input, including NULL ids (routed to
+         bucket 0 explicitly) and duplicate ids straddling a sampled
+         range boundary (all copies of a value share one bucket; the
+         r5-draft per-partition counts double-counted both cases).
+      2. Offsets = cumulative bucket counts. The wide rows then
+         shuffle ONCE, hash-partitioned on their bucket, sorted
          (bucket, id) within partitions, and the Arrow pass assigns
          ``offset[bucket] + local rank``.
 
     Determinism: ranks are exact per bucket (all rows of a bucket land
     in one partition, sorted), so doc ids are a pure function of the id
-    VALUES — the bounds only steer balance. (The r4 double-shuffle
-    version additionally relied on two range-samplings agreeing.)
-    Ordering by id means the (score DESC, doc_id ASC) tie-break equals
-    the (score, id) contract.
+    VALUES — the sampled bounds only steer balance. (The r4
+    double-shuffle version additionally relied on two range-samplings
+    agreeing.) Ordering by id means the (score DESC, doc_id ASC)
+    tie-break equals the (score, id) contract; NULL ids sort first
+    (bucket 0), matching range-partition null ordering.
     """
     n_parts = max(docs.rdd.getNumPartitions(), 1)
     spark = docs.sparkSession
 
-    # pass 1 (narrow): per-range counts + inclusive upper bounds
+    # pass 1a (narrow): candidate split bounds from a range sampling
     id_type = docs.schema[id_col].dataType
-    stats = (docs.select(F.col(id_col).alias("_id"))
-             .repartitionByRange(n_parts, F.col("_id"))
-             .withColumn("_pid", F.spark_partition_id())
-             .groupBy("_pid")
-             .agg(F.count("*").alias("cnt"), F.max("_id").alias("hi"))
-             .collect())
-    stats = sorted((r for r in stats if r["cnt"]), key=lambda r: r["_pid"])
-    offsets, acc = {}, 0
-    for i, r in enumerate(stats):
-        offsets[i] = acc
-        acc += int(r["cnt"])
-    n_buckets = max(len(stats), 1)
+    ids = docs.select(F.col(id_col).alias("_id"))
+    bound_rows = (ids.repartitionByRange(n_parts, F.col("_id"))
+                  .withColumn("_pid", F.spark_partition_id())
+                  .groupBy("_pid").agg(F.max("_id").alias("hi"))
+                  .collect())
+    bounds = sorted({r["hi"] for r in bound_rows if r["hi"] is not None})
+    bounds = bounds[:-1]          # last bound is the global max: catch-all
 
-    # bucket = index of the first range whose upper bound holds the id
-    bucket_col = F.lit(0)
-    if len(stats) > 1:
-        expr = None
-        for i, r in enumerate(stats[:-1]):
-            cond = F.col(id_col) <= F.lit(r["hi"]).cast(id_type)
-            expr = (F.when(cond, i) if expr is None
-                    else expr.when(cond, i))
-        bucket_col = expr.otherwise(len(stats) - 1)
+    def bucket_of(col):
+        # NULLs explicitly first (range partitioning's null ordering);
+        # then first bound holding the value; else the catch-all bucket
+        expr = F.when(col.isNull(), 0)
+        for i, b in enumerate(bounds):
+            expr = expr.when(col <= F.lit(b).cast(id_type), i)
+        return expr.otherwise(len(bounds))
+
+    # pass 1b (narrow, map-side combinable): EXACT per-bucket counts
+    # with the same routing expression the wide pass uses
+    counts = {int(r["_b"]): int(r["cnt"]) for r in
+              ids.groupBy(bucket_of(F.col("_id")).alias("_b"))
+              .agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for i in range(len(bounds) + 1):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    n_buckets = len(bounds) + 1
+    bucket_col = bucket_of(F.col(id_col))
 
     parted = (docs.withColumn("_bucket", bucket_col.cast("int"))
               .repartition(n_buckets, F.col("_bucket"))

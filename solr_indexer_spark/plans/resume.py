@@ -139,13 +139,20 @@ class ResumableIndexBuild:
 
     def load_positional(self, spark: SparkSession):
         """The persisted positional store (term, doc_id, pos_blob,
-        n_pos, shard, tbucket) restricted to manifest-done shards —
-        feed straight to index.positions.phrase_match (dispatches on
-        pos_blob; pins tbucket per term for directory pruning). None
-        when the build ran without ``positions=True``."""
+        n_pos, tbucket, ...) — feed straight to
+        index.positions.phrase_match (dispatches on pos_blob; pins
+        tbucket per term for directory pruning). Batch layout
+        (``shard=`` partitions) is restricted to manifest-done shards;
+        a STREAMING-ingest layout (``batch_id=`` partitions, no shard
+        column — StreamingIndexIngest writes it) is returned whole,
+        mirroring ``ingest.positional()`` (committed batches; a
+        replayed batch overwrites its own directory). None when no
+        positional store exists."""
         d = os.path.join(self.base_dir, "positions")
         if not os.path.exists(d):
             return None
-        done = sorted(self.manifest.done_partitions())
-        return (spark.read.parquet(d)
-                .filter(F.col("shard").isin([int(s) for s in done])))
+        pos = spark.read.parquet(d)
+        if "shard" in pos.columns:
+            done = sorted(self.manifest.done_partitions())
+            return pos.filter(F.col("shard").isin([int(s) for s in done]))
+        return pos.drop("batch_id")

@@ -96,33 +96,6 @@ def _score_blocks_map(it):
             })
 
 
-def _score_blocks_tfdl_map(it):
-    """Champion-pass decode: like _score_blocks_map but also emits the
-    raw (tf, dl) per posting, so top-k champion partials can be
-    persisted and revalidated under future stats."""
-    from .. import B, K1
-    for pdf in it:
-        qids, docs_out, s_out, tf_out, dl_out = [], [], [], [], []
-        avgdls = pdf["avgdl"].to_numpy()
-        ws = pdf["w"].to_numpy()
-        for i, row in enumerate(pdf.itertuples(index=False)):
-            d, tf, dl = decode_posting_block(row.docs, row.tfs, row.dls)
-            tfnorm = tf / (tf + K1 * (1.0 - B + B * dl / avgdls[i]))
-            qids.append(np.full(d.size, row.query_id, dtype=np.int32))
-            docs_out.append(d)
-            s_out.append(ws[i] * tfnorm)
-            tf_out.append(tf.astype(np.int64))
-            dl_out.append(dl.astype(np.int64))
-        if qids:
-            yield pd.DataFrame({
-                "query_id": np.concatenate(qids),
-                "doc_id": np.concatenate(docs_out),
-                "s": np.concatenate(s_out),
-                "tf": np.concatenate(tf_out),
-                "dl": np.concatenate(dl_out),
-            })
-
-
 def _champion_pass_map(depth_by_qid: dict, acc=None):
     """Pass-A decode with block-level skip pointers (VERDICT r4 #10 /
     PLANS.md §6): each partition scans its champion-term blocks in
@@ -320,16 +293,18 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
     same as the θ driver arithmetic above.)
 
     ``tombstones`` (deleted-docs bitmap semantics): dropped from the
-    decoded partials BEFORE the sums/heap via a broadcast ANTI-JOIN
-    between the decode map and the heap map (VERDICT r4 #2) — a
-    BroadcastHashJoin is a narrow op, so doc co-location from the shard
-    repartition is preserved, the whole chain stays ONE job with no
-    exchange after the decode, and there is no driver collect of
-    tombstone ids and no size cliff (the r4 design collected a ≤10k
-    kill-set and fell back to the per-posting window shuffle above it —
-    exactly where a 100 TB serving index with routine deletes needs the
-    fused plan most). Identical semantics to the window path's
-    pre-ranking anti-join.
+    decoded partials BEFORE the sums/heap via an ANTI-JOIN between the
+    decode map and the heap map (VERDICT r4 #2). The join is left to
+    AQE: a small table becomes a BroadcastHashJoin (narrow — doc
+    co-location from the shard repartition preserved, no exchange
+    after decode), while a table past the broadcast threshold becomes
+    a shuffled anti-join whose doc_id hash partitioning STILL
+    co-locates every (query, doc)'s partials, so the heap stays exact
+    — no forced-broadcast size ceiling and no driver collect (the r4
+    design collected a ≤10k kill-set and fell back to the per-posting
+    window shuffle above it — exactly where a serving index with
+    routine deletes needs the fused plan most). Identical semantics to
+    the window path's pre-ranking anti-join.
 
     Raw scores may differ from the window path in the LAST ULP (pandas
     partition-local summation order vs Spark's shuffle-order agg —
@@ -361,8 +336,9 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
                 yield out
         cand = sel.mapInPandas(fused, schema=_PARTIAL_SCHEMA)
     else:
-        # deletes: decode map → broadcast anti-join (narrow; partition
-        # layout preserved) → heap map; still one job, no exchange
+        # deletes: decode map → anti-join (AQE picks broadcast when the
+        # table is small — narrow, layout preserved; shuffled when big —
+        # doc_id hashing still co-locates each doc's partials) → heap
         def heap_only(it):
             frames = list(it)
             if not frames:
@@ -374,8 +350,7 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
         partials = sel.mapInPandas(_score_blocks_map,
                                    schema=_PARTIAL_SCHEMA)
         cand = (partials
-                .join(F.broadcast(tombstones.select("doc_id")),
-                      "doc_id", "left_anti")
+                .join(tombstones.select("doc_id"), "doc_id", "left_anti")
                 .select("query_id", "doc_id", "s")
                 .mapInPandas(heap_only, schema=_PARTIAL_SCHEMA))
     by_q: dict[int, list] = {}
@@ -452,9 +427,11 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     """(query_id, doc_id, score, rank) — rank-identical to the exact
     scorer (and the oracle), reading only surviving blocks.
 
-    ``theta_carry``: {query_id: {"term", "pairs": [(tf, dl), ...]}}
+    ``theta_carry``: {query_id: {"term", "pairs": [(doc, tf, dl), ...]}}
     from :class:`ThetaCache` — seeds θ₀ by driver arithmetic and skips
-    pass A for those queries (ignored when tombstones are given).
+    pass A for those queries. Sound UNDER tombstones: carried doc ids
+    revalidate against the tombstone table (killed pairs drop; fewer
+    than k+start survivors falls back to pass A — see ThetaCache).
     ``carry_out``: pass a dict to receive the refreshed carry entries.
     ``debug_block_counts``: test hook — pass a dict to receive decoded
     block counts per pass (costs extra count() jobs).
@@ -586,12 +563,15 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                     for p in (theta_carry.get(qid) or {}).get("pairs", [])
                     if len(p) == 3 and (theta_carry[qid]["term"] in w)})
                 if carried_ids:
-                    ids_df = spark.createDataFrame(
-                        [(i,) for i in carried_ids], "doc_id long")
-                    alive = {r["doc_id"] for r in
-                             ids_df.join(F.broadcast(tombstones),
-                                         "doc_id", "left_anti").collect()}
-                    alive_by_qid = {"_all": alive}
+                    # carried_ids is a ≤ k·Q driver list already — an
+                    # isin filter pushes to the tombstone scan and
+                    # returns at most that many rows; never broadcast
+                    # (or collect) the tombstone table itself
+                    killed = {r["doc_id"] for r in
+                              tombstones.select("doc_id")
+                              .filter(F.col("doc_id").isin(carried_ids))
+                              .collect()}
+                    alive_by_qid = {"_all": set(carried_ids) - killed}
             for qid, k, w, champ, total_ub, t_ub in multi:
                 e = theta_carry.get(qid)
                 depth = k + start

@@ -191,3 +191,22 @@ def test_codec_roundtrip_property():
             assert got.tolist() == b, (i, blobs[i][:1])
 
     check()
+
+
+def test_assign_doc_ids_nulls_and_duplicates(spark):
+    """r5 review finding: NULL ids and duplicate ids straddling a
+    sampled range bound must still yield dense unique doc_ids — bucket
+    counts and routing share ONE expression, so offsets always agree
+    with assignment. NULLs sort first; non-null order ascending."""
+    from solr_indexer_spark.index.codec import assign_doc_ids
+    vals = [None, None] + ["k%03d" % (i // 3) for i in range(60)]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)],
+                               "url string, payload long").repartition(7)
+    out = assign_doc_ids(df, id_col="url").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == list(range(len(vals)))        # dense, no overlap
+    by_doc = sorted(out, key=lambda r: r["doc_id"])
+    keys = [r["url"] for r in by_doc]
+    assert keys[0] is None and keys[1] is None
+    nonnull = [k for k in keys if k is not None]
+    assert nonnull == sorted(nonnull)
