@@ -33,7 +33,11 @@ def oracle_sql() -> dict[str, str]:
     return dict(gate.ORACLE_SQL)
 
 
-# queries() entries deliberately WITHOUT an oracle (non-SQL-expressible:
-# iterative k-means training) — the driver records a rows-only check;
-# recall-vs-brute is asserted in tests/test_operators.py instead.
+# queries() entries deliberately WITHOUT an oracle — the driver records
+# a rows-only check for these; recall-vs-brute is asserted in
+# tests/test_operators.py instead. After r6's `ann_ivf_fixed_cells`
+# gate (fixed injected centroids → the full assignment/prune/rank
+# serving path IS hash-checked against DuckDB), the only oracle-free
+# surface left in these two is the iterative k-means / PQ TRAINING
+# itself (Lloyd's iterations are not SQL-expressible).
 NO_ORACLE_OK = frozenset({"ann_ivf_topk", "ann_ivf_pq_topk"})

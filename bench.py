@@ -61,11 +61,56 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- steady-state calibration guard (VERDICT r5 #3) -----------------------
+# The official driver artifact recorded drained-CPU-bucket walls in 2 of 5
+# rounds (BENCH_r05.json read 1.6x the same-HEAD local steady state). The
+# guard runs a FIXED CPU loop with a pinned nominal wall before anything is
+# measured; while the probe reads > BENCH_CALIB_MAX_RATIO x nominal the
+# bucket is drained -> idle BENCH_CALIB_IDLE s and re-probe, bounded
+# retries. The probe walls land in the output JSON so the artifact
+# discloses the bucket state it was recorded under.
+
+CALIB_NOMINAL_S = float(os.environ.get("BENCH_CALIB_NOMINAL", "2.0"))
+CALIB_MAX_RATIO = float(os.environ.get("BENCH_CALIB_MAX_RATIO", "1.5"))
+CALIB_IDLE_S = float(os.environ.get("BENCH_CALIB_IDLE", "150"))
+CALIB_RETRIES = int(os.environ.get("BENCH_CALIB_RETRIES", "4"))
+
+
+def _calib_probe() -> float:
+    """Fixed CPU workload, ~CALIB_NOMINAL_S steady-state wall on this
+    host (160 chained 1024^2 float64 matmuls; BLAS-threaded, so it
+    exercises the same parallel-burn throttle the bench stages hit)."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(160):
+        a = a @ a
+        a /= np.abs(a).max()
+    return time.perf_counter() - t0
+
+
+def calibrate() -> dict:
+    probes = [_calib_probe()]
+    retries = 0
+    while (probes[-1] > CALIB_MAX_RATIO * CALIB_NOMINAL_S
+           and retries < CALIB_RETRIES):
+        time.sleep(CALIB_IDLE_S)
+        retries += 1
+        probes.append(_calib_probe())
+    return {"nominal_s": CALIB_NOMINAL_S,
+            "probe_walls_s": [round(p, 3) for p in probes],
+            "final_ratio": round(probes[-1] / CALIB_NOMINAL_S, 3),
+            "steady": probes[-1] <= CALIB_MAX_RATIO * CALIB_NOMINAL_S}
+
+
 def main() -> None:
     # partition counts are FIXED (not CPU-derived) so runs at different
     # parallelism levels execute identical plans — cores only change how
     # many tasks run concurrently (the scaling-efficiency contract)
     n_parts = int(os.environ.get("BENCH_PARTITIONS", "64"))
+    # calibration BEFORE the session spin-up: nothing is measured until
+    # the CPU bucket reads steady (or retries are exhausted — disclosed)
+    calibration = calibrate()
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=n_parts)
     # idle before measuring: whatever ran before this bench (the
@@ -108,7 +153,8 @@ def main() -> None:
             "sf": SF_DIR.rstrip("/").split("sf")[-1], "n_docs": n_docs,
             "n_tokens": int(agg["n"]), "cpus": CPUS,
             "docs_per_sec": round(n_docs / dt, 1),
-            "tokens_per_sec": round(int(agg["n"]) / dt, 1)}))
+            "tokens_per_sec": round(int(agg["n"]) / dt, 1),
+            "calibration": calibration}))
         spark.stop()
         return
 
@@ -128,7 +174,8 @@ def main() -> None:
             "metric": "index_build_only", "value": round(timings["index_build"], 3),
             "unit": "sec", "queries": {k: round(v, 4) for k, v in timings.items()},
             "sf": SF_DIR.rstrip("/").split("sf")[-1], "n_docs": n_docs,
-            "cpus": CPUS, "docs_per_sec": round(docs_per_sec, 1)}))
+            "cpus": CPUS, "docs_per_sec": round(docs_per_sec, 1),
+            "calibration": calibration}))
         spark.stop()
         return
 
@@ -270,6 +317,7 @@ def main() -> None:
         "query_p95_ms": round(p95 * 1000, 1),
         "n_postings": int(comp["n_postings"]),
         "compression_ratio": compression_ratio,
+        "calibration": calibration,
     }))
     spark.stop()
 

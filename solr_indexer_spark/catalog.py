@@ -23,11 +23,17 @@ from dataclasses import asdict, dataclass
 class PartitionCheckpoint:
     run_id: str
     partition_id: int            # shard id
-    status: str                  # "done"
+    status: str                  # "done" | "positions" (backfill-only)
     docs_indexed: int
     postings_written: int
     bytes_compressed: int
     completed_at: float
+    # whether the shard's POSITIONAL store was committed alongside its
+    # blocks (ADVICE r5: without recording this, resuming a build with a
+    # different --positions flag yields a store silently missing done
+    # shards — phrase/slop queries then silently miss those documents).
+    # Defaults False so legacy manifest lines parse unchanged.
+    positions: bool = False
 
 
 class Manifest:
@@ -50,6 +56,14 @@ class Manifest:
 
     def done_partitions(self) -> set[int]:
         return {e.partition_id for e in self.entries() if e.status == "done"}
+
+    def positions_partitions(self) -> set[int]:
+        """Shards whose POSITIONAL store is committed: either built
+        with their blocks (status 'done' + positions flag) or added by
+        a later positions-only backfill pass (status 'positions')."""
+        return {e.partition_id for e in self.entries()
+                if (e.status == "done" and e.positions)
+                or e.status == "positions"}
 
     def commit(self, new_entries: list[PartitionCheckpoint]) -> None:
         """Atomic append: write full content to temp file, rename over."""

@@ -585,6 +585,8 @@ def q_lucene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BOOL_GROUPS_Q = "(value OR hash) AND dup"
+CONJ_WAND_Q = "value AND dup"        # pure-MUST: conjunctive WAND branch
+OR_WAND_Q = "value hash dup"         # pure-SHOULD: θ-stack delegation
 FIELD_RANGE_Q = "dup AND n_chars:[150 TO 400]"
 WILDCARD_Q = "s* AND gr?up AND dup"
 
@@ -592,13 +594,32 @@ WILDCARD_Q = "s* AND gr?up AND dup"
 def q_lucene_bool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean grouping + OR precedence through the query-tree engine
     (Lucene QueryParser parens; reference forwards arbitrary q strings,
-    solrindexer/search.py:125-140)."""
+    solrindexer/search.py:125-140). Merged gate (r6): the 'conj_wand' /
+    'or_wand' rows run the SAME query-string surface through the
+    block-max delegation (VERDICT r5 #8 — ``search_tree(bindex=...)``
+    routes pure-MUST trees through the conjunctive containment-pruned
+    branch and pure-SHOULD trees through the θ stack), hash-checked
+    against the identical DuckDB scored-gate oracle."""
+    from .index.codec import build_block_index
     from .query.parser import search_lucene
+    from .query.qtree import search_tree
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
-    hits = search_lucene(BOOL_GROUPS_Q, docs, index, k=10)
-    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
-                       F.round("score", 4).alias("score_r"))
+    bindex = build_block_index(index, shard_range=4096)
+
+    def fmt(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), "doc_id",
+            F.col("rank").cast("long").alias("rnk"),
+            F.round("score", 4).alias("score_r"))
+
+    hits = fmt(search_lucene(BOOL_GROUPS_Q, docs, index, k=10), "groups")
+    conj = fmt(search_tree(CONJ_WAND_Q, docs, index, k=10,
+                           bindex=bindex), "conj_wand")
+    disj = fmt(search_tree(OR_WAND_Q, docs, index, k=10,
+                           bindex=bindex), "or_wand")
+    return (hits.unionByName(conj).unionByName(disj)
+            .orderBy("kind", "rnk"))
 
 
 def q_lucene_field_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,10 +917,25 @@ SELECT doc_id, rnk, score_r FROM ranked WHERE rnk <= {k} ORDER BY rnk
 
 
 def _bool_groups_sql() -> str:
-    return _scored_gate_sql(
+    # tagged union: each branch is the SAME scored-gate oracle shape;
+    # 'conj_wand'/'or_wand' check the block-max delegation (r6)
+    groups = _scored_gate_sql(
         ["value", "hash", "dup"],
         "(list_contains(toks, 'value') OR list_contains(toks, 'hash')) "
         "AND list_contains(toks, 'dup')")
+    conj = _scored_gate_sql(
+        ["value", "dup"],
+        "list_contains(toks, 'value') AND list_contains(toks, 'dup')")
+    disj = _scored_gate_sql(
+        ["value", "hash", "dup"],
+        "list_contains(toks, 'value') OR list_contains(toks, 'hash') "
+        "OR list_contains(toks, 'dup')")
+    return f"""
+SELECT 'groups' AS kind, * FROM ({groups}) g
+UNION ALL SELECT 'conj_wand' AS kind, * FROM ({conj}) c
+UNION ALL SELECT 'or_wand' AS kind, * FROM ({disj}) o
+ORDER BY kind, rnk
+"""
 
 
 def _field_range_sql() -> str:
@@ -1104,6 +1140,33 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
         .withColumnRenamed("vec_id", "query_vec_id")
     return ann_ivf_pq_topk(spark, path, C, books, qs, k=10,
                            nprobe=16, refine=4, vectors=vecs)
+
+
+IVF_FIXED_NLIST = 16
+IVF_FIXED_NPROBE = 6
+
+
+def q_ann_ivf_fixed_cells(spark, sf_dir):
+    """VERDICT r5 #7 — the IVF serving machinery under a SQL oracle:
+    with FIXED (non-trained) centroids injected — the first nlist
+    vectors of the table, unit-normalized — cell assignment (argmax
+    cosine, ties to the lowest centroid id), nprobe cell pruning and
+    the in-cell exact-cosine rank are all SQL-expressible, so this
+    gate hash-checks the REAL ``ann_ivf_topk`` path end-to-end.
+    Lloyd's iteration (the trainer) is now the ONLY oracle-free part
+    of the IVF stack (the rows-only ann_ivf_topk / ann_ivf_pq_topk
+    gates)."""
+    import numpy as np
+    from .operators.similarity import ann_ivf_topk
+    vecs = _embs(spark, sf_dir)
+    crows = (vecs.filter(F.col("vec_id") < IVF_FIXED_NLIST)
+             .orderBy("vec_id").collect())
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qs = vecs.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)) \
+        .withColumnRenamed("vec_id", "query_vec_id")
+    return ann_ivf_topk(vecs, qs, k=10, nlist=IVF_FIXED_NLIST,
+                        nprobe=IVF_FIXED_NPROBE, centroids=C)
 
 
 def q_doc_tfidf(spark, sf_dir):
@@ -1459,6 +1522,44 @@ ORDER BY d.doc_id"""),
         SELECT query_vec_id, rnk, vec_id, cos_r4 FROM r
         WHERE rnk <= 10 ORDER BY 1, 2
     """,
+    "ann_ivf_fixed_cells": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id < {IVF_FIXED_NLIST}),
+        a AS (      -- nearest-centroid cell: argmax cosine, tie -> low cid
+          SELECT vec_id, v, cid AS cell FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                              c.cid) AS rn
+            FROM e CROSS JOIN c) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_vec_id, v AS qv FROM e
+              WHERE vec_id IN {ANN_QUERY_IDS}),
+        p AS (      -- nprobe nearest cells per query
+          SELECT query_vec_id, qv, cid AS cell FROM (
+            SELECT q.query_vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.query_vec_id
+                     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                              c.cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= {IVF_FIXED_NPROBE}
+        ),
+        s AS (      -- exact cosine over probed cells only
+          SELECT p.query_vec_id, a.vec_id,
+                 list_cosine_similarity(a.v, p.qv) AS cos
+          FROM p JOIN a USING (cell)
+          WHERE a.vec_id <> p.query_vec_id
+        ),
+        r AS (
+          SELECT query_vec_id, vec_id, round(cos, 4) AS cos_r4,
+                 row_number() OVER (PARTITION BY query_vec_id
+                   ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+          FROM s
+        )
+        SELECT query_vec_id, rnk, vec_id, cos_r4 FROM r
+        WHERE rnk <= 10 ORDER BY 1, 2
+    """,
     "embedding_dedup": _embedding_dedup_lsh_sql(),
     "lang_id": _lang_id_sql(),
     "repetition_signal": f"""
@@ -1800,6 +1901,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    "ann_ivf_fixed_cells": q_ann_ivf_fixed_cells,
     "doc_tfidf": q_doc_tfidf,
     "embedding_dedup": q_embedding_dedup,
     "text_signals": q_text_signals,

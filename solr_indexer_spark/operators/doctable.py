@@ -34,21 +34,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+
+# bounded-by-construction defaults (VERDICT r5 #2, same class of fix as
+# the r3 LSH max_bucket flip): a caller who never configures compaction
+# must still get bounded merge-on-read cost and a bounded tombstone
+# table — Solr merges segments automatically, nobody tunes it per
+# collection. 16 deltas caps the current() join chain; 20% tombstones
+# is Lucene's default deletes-percentage merge trigger neighborhood.
+DEFAULT_AUTO_COMPACT_DELTAS = 16
+DEFAULT_AUTO_COMPACT_TOMBSTONE_FRAC = 0.2
+
+
 class DocTable:
     def __init__(self, spark: SparkSession, base_dir: str,
                  id_col: str = "doc_id",
-                 auto_compact_deltas: int | None = None,
-                 auto_compact_tombstone_frac: float | None = None):
+                 auto_compact_deltas: int | None
+                 = DEFAULT_AUTO_COMPACT_DELTAS,
+                 auto_compact_tombstone_frac: float | None
+                 = DEFAULT_AUTO_COMPACT_TOMBSTONE_FRAC):
         self.spark = spark
         self.base_dir = base_dir
         self.id_col = id_col
-        # fold deltas into a new base once this many accumulate (None =
-        # manual compact() only) — merge-on-read cost stays bounded
+        # fold deltas into a new base once this many accumulate (pass
+        # None to opt out: manual compact() only) — merge-on-read cost
+        # stays bounded by default
         self.auto_compact_deltas = auto_compact_deltas
         # fold when tombstones exceed this fraction of base rows (the
-        # Lucene deletes-percentage merge trigger); None = off. Checked
-        # after each delete from already-tracked counters — no extra
-        # scan
+        # Lucene deletes-percentage merge trigger); pass None to opt
+        # out. Checked after each delete from already-tracked counters —
+        # no extra scan
         self.auto_compact_tombstone_frac = auto_compact_tombstone_frac
         os.makedirs(base_dir, exist_ok=True)
         self._ptr = os.path.join(base_dir, "_snapshot.json")

@@ -96,18 +96,7 @@ class ResumableIndexBuild:
              .parquet(os.path.join(self.base_dir, "blocks")))
             blocks.unpersist()
             if self.positions:
-                from ..index.positions import (
-                    positional_postings_compressed, term_bucket_col)
-                pos = positional_postings_compressed(sub, id_col="doc_id")
-                (pos.withColumn(
-                        "shard",
-                        (F.col("doc_id") / F.lit(self.shard_range))
-                        .cast("long"))
-                 .withColumn("tbucket", term_bucket_col(F.col("term")))
-                 .repartition("shard", "tbucket")
-                 .sortWithinPartitions("term")
-                 .write.mode("overwrite").partitionBy("shard", "tbucket")
-                 .parquet(os.path.join(self.base_dir, "positions")))
+                self._write_positions(sub)
             self.manifest.commit([
                 PartitionCheckpoint(
                     run_id=self.run_id, partition_id=int(r["shard"]),
@@ -115,11 +104,53 @@ class ResumableIndexBuild:
                     docs_indexed=int(docs_per_shard.get(r["shard"], 0)),
                     postings_written=int(r["postings_written"]),
                     bytes_compressed=int(r["bytes_compressed"]),
-                    completed_at=Manifest.now())
+                    completed_at=Manifest.now(),
+                    positions=self.positions)
                 for r in counters])
             built += len(group)
+
+        # positions backfill (ADVICE r5): shards committed WITHOUT a
+        # positional store by an earlier run (different --positions
+        # flag) get positions-only passes here — their blocks are
+        # untouched; each backfilled group commits a 'positions'
+        # checkpoint. After this, load_positional never sees a done
+        # shard lacking positional partitions.
+        backfilled = 0
+        if self.positions and max_groups is None:
+            pos_done = self.manifest.positions_partitions()
+            missing = [s for s in all_shards
+                       if s in done and s not in pos_done]
+            for i in range(0, len(missing), self.group_size):
+                group = missing[i:i + self.group_size]
+                sub = docs.filter(
+                    F.col("_shard").isin([int(s) for s in group]))
+                self._write_positions(sub)
+                self.manifest.commit([
+                    PartitionCheckpoint(
+                        run_id=self.run_id, partition_id=int(s),
+                        status="positions", docs_indexed=0,
+                        postings_written=0, bytes_compressed=0,
+                        completed_at=Manifest.now(), positions=True)
+                    for s in group])
+                backfilled += len(group)
         return {"shards_built": built,
-                "shards_skipped": len(all_shards) - len(todo)}
+                "shards_skipped": len(all_shards) - len(todo),
+                "positions_backfilled": backfilled}
+
+    def _write_positions(self, sub: DataFrame) -> None:
+        """Compressed positional store for one shard group (dynamic
+        partition overwrite — idempotent per shard directory)."""
+        from ..index.positions import (positional_postings_compressed,
+                                       term_bucket_col)
+        pos = positional_postings_compressed(sub, id_col="doc_id")
+        (pos.withColumn(
+                "shard",
+                (F.col("doc_id") / F.lit(self.shard_range)).cast("long"))
+         .withColumn("tbucket", term_bucket_col(F.col("term")))
+         .repartition("shard", "tbucket")
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").partitionBy("shard", "tbucket")
+         .parquet(os.path.join(self.base_dir, "positions")))
 
     # -- load ----------------------------------------------------------
 
@@ -154,5 +185,16 @@ class ResumableIndexBuild:
         pos = spark.read.parquet(d)
         if "shard" in pos.columns:
             done = sorted(self.manifest.done_partitions())
+            # partial-store guard (ADVICE r5): a done shard whose
+            # positional partitions were never committed (mixed
+            # --positions flags across resume runs) must FAIL here, not
+            # silently miss phrase matches for those documents. Re-run
+            # the build with positions=True to backfill.
+            missing = sorted(set(done) - self.manifest.positions_partitions())
+            if missing:
+                raise ValueError(
+                    f"positional store missing for done shards {missing}; "
+                    "re-run the build with positions=True to backfill "
+                    "before serving phrase queries")
             return pos.filter(F.col("shard").isin([int(s) for s in done]))
         return pos.drop("batch_id")

@@ -191,8 +191,9 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
     # single-partition window over the full match set. The rank column
     # is then numbered over only the k surviving rows.
     if tombstones is not None:
-        # deleted-docs bitmap: excluded before ranking
-        scored = scored.join(F.broadcast(tombstones.select(id_col)),
+        # deleted-docs bitmap: excluded before ranking; join strategy
+        # is AQE's call (VERDICT r5 #1) — no forced broadcast ceiling
+        scored = scored.join(tombstones.select(id_col),
                              id_col, "left_anti")
 
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),

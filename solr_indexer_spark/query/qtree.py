@@ -510,6 +510,24 @@ class TreeExecutor:
         return base
 
 
+def _pure_term_mode(g: GroupN) -> str | None:
+    """'and' / 'or' when every clause is a plain text term with one
+    uniform modifier (the WAND-delegable shapes); None otherwise.
+    These are the two commonest Solr default-field query shapes
+    ('a b c' and 'a AND b AND c' — reference forwards them verbatim,
+    solrindexer/search.py:125-140)."""
+    if not g.clauses:
+        return None
+    if any(not isinstance(n, TermN) for _, n in g.clauses):
+        return None
+    mods = {mod for mod, _ in g.clauses}
+    if mods == {MUST}:
+        return "and"
+    if mods == {SHOULD}:
+        return "or"
+    return None
+
+
 def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 pos_postings: DataFrame | None = None,
                 wildcard_top_terms: int | None = None,
@@ -517,8 +535,27 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 fuzzy_max_expansions: int = 50,
                 fq: str | None = None,
                 tombstones: DataFrame | None = None,
-                start: int = 0) -> DataFrame:
+                start: int = 0,
+                bindex=None,
+                theta_carry: dict | None = None,
+                carry_out: dict | None = None,
+                debug_block_counts: dict | None = None,
+                theta_min_postings: int | None = None) -> DataFrame:
     """Full boolean query-string search → (<id>, score, rank).
+
+    ``bindex`` (VERDICT r5 #8): pass the compressed
+    :class:`~..index.codec.BlockIndex` to serve the pure-term query
+    shapes through the block-max machinery instead of raw posting
+    joins. A pure-SHOULD tree ('a b c') IS the free-text disjunction —
+    it gets the full θ-seeding/carry/skip-pointer stack (``theta_carry``
+    / ``carry_out`` forward to :func:`topk_wand`, so the θ cache now
+    serves boolean queries too). A pure-MUST tree ('a AND b AND c')
+    routes through the conjunctive branch: shard-containment block
+    pruning + all-terms-matched filter. Both are rank-identical to the
+    raw-postings path (same weights, same rounding contract, same
+    tie-break); trees with phrases / wildcards / fuzzies / fields /
+    NOT / nesting — and any call with ``fq`` — fall through to the
+    general executor below unchanged.
 
     ``tombstones`` (1-column id frame, Lucene deleted-docs bitmap
     semantics — r5): deleted ids are anti-joined out of the MATCH set
@@ -541,6 +578,28 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     tree = parse_tree(q)
     id_col = index.id_col
     spark = docs.sparkSession
+
+    if bindex is not None and fq is None:
+        mode = _pure_term_mode(tree)
+        if mode is not None:
+            from .wand import topk_wand
+            weights: dict[str, float] = {}
+            for t, w in positive_weighted_terms(tree):
+                weights[t] = weights.get(t, 0.0) + float(w)
+            qdf = spark.createDataFrame(
+                [(0, q, int(k))], "query_id int, query_text string, k int")
+            extra = {} if theta_min_postings is None else {
+                "theta_min_postings": theta_min_postings}
+            hits = topk_wand(
+                qdf, bindex, tombstones=tombstones, start=start,
+                term_weights={0: weights},
+                conjunctive_qids=frozenset({0}) if mode == "and"
+                else frozenset(),
+                theta_carry=theta_carry, carry_out=carry_out,
+                debug_block_counts=debug_block_counts, **extra)
+            out = hits.select(F.col("doc_id").alias(id_col), "score",
+                              "rank").orderBy("rank")
+            return out
 
     expansions = None
     extra_terms: list[str] = []
@@ -600,8 +659,10 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
         matched = matched.join(ex.match_ids(parse_tree(fq)),
                                id_col, "left_semi")
     if tombstones is not None:
-        # deleted-docs bitmap: excluded before scoring/ranking
-        matched = matched.join(F.broadcast(tombstones.select(id_col)),
+        # deleted-docs bitmap: excluded before scoring/ranking; join
+        # strategy is AQE's call (VERDICT r5 #1) — no forced broadcast
+        # ceiling on the query-string serving path
+        matched = matched.join(tombstones.select(id_col),
                                id_col, "left_anti")
     # explicit terms keep additive qtf semantics (term^w boosts sum);
     # a fuzzy expansion that COINCIDES with an explicit query term (the

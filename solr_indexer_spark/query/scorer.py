@@ -82,7 +82,10 @@ def topk(queries: DataFrame, index: InvertedIndex,
     ABSOLUTE ranks (Solr numFound positions)."""
     scored = score_exact(queries, index)
     if tombstones is not None:
-        scored = scored.join(F.broadcast(tombstones), index.id_col, "left_anti")
+        # join strategy left to AQE (VERDICT r5 #1): small delete sets
+        # broadcast at runtime; oversized ones shuffle instead of
+        # failing a forced broadcast on this serving path
+        scored = scored.join(tombstones, index.id_col, "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), SCORE_DECIMALS).desc(), F.col(index.id_col).asc())
     ks = queries.select("query_id", "k")
@@ -109,8 +112,8 @@ def topk_sorted(queries: DataFrame, index: InvertedIndex,
     postings table never carries stored fields."""
     scored = score_exact(queries, index)
     if tombstones is not None:
-        scored = scored.join(F.broadcast(tombstones), index.id_col,
-                             "left_anti")
+        # AQE-adaptive anti-join (VERDICT r5 #1) — see topk
+        scored = scored.join(tombstones, index.id_col, "left_anti")
     joined = scored.join(docs, index.id_col)
     order = []
     for fld, direction in sort:

@@ -189,6 +189,9 @@ class StreamingIndexIngest:
               "sum_dl": st["sum_dl"] + sum_dl,
               "last_batch_id": batch_id}
         self._set_state(st)
+        # coalesce(1) on a SINGLE-ROW frame (the scalar corpus stats) —
+        # one tiny file instead of shuffle_partitions mostly-empty ones;
+        # not a data-path coalesce
         spark.createDataFrame(
             [(st["n_docs"], st["sum_dl"] / st["n_docs"])],
             "n_docs long, avgdl double"

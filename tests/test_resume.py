@@ -42,7 +42,8 @@ def test_kill_resume_identical_to_clean_build(spark, docs, tmp_path):
     resum = ResumableIndexBuild(str(tmp_path / "resumed"), run_id="r1",
                                 shard_range=SHARD_RANGE, group_size=3)
     out1 = resum.run(docs, max_groups=1)
-    assert out1 == {"shards_built": 3, "shards_skipped": 0}
+    assert out1 == {"shards_built": 3, "shards_skipped": 0,
+                    "positions_backfilled": 0}
     first_entries = {e.partition_id: e.completed_at for e in resum.manifest.entries()}
     assert len(first_entries) == 3
 
@@ -50,7 +51,8 @@ def test_kill_resume_identical_to_clean_build(spark, docs, tmp_path):
     resum2 = ResumableIndexBuild(str(tmp_path / "resumed"), run_id="r2",
                                  shard_range=SHARD_RANGE, group_size=3)
     out2 = resum2.run(docs)
-    assert out2 == {"shards_built": 6, "shards_skipped": 3}
+    assert out2 == {"shards_built": 6, "shards_skipped": 3,
+                    "positions_backfilled": 0}
     entries = resum2.manifest.entries()
     after = {e.partition_id: e.completed_at for e in entries}
     for pid, ts in first_entries.items():
@@ -131,3 +133,41 @@ def test_persisted_positional_store_kill_resume(spark, docs, tmp_path):
         want = {r["doc_id"] for r in
                 phrase_match(ref_pos, phrase, slop=slop).collect()}
         assert got == want and want
+
+
+def test_positions_flag_mismatch_guard_and_backfill(spark, docs, tmp_path):
+    """ADVICE r5: the manifest records the positions flag per
+    checkpoint. Mixing --positions across resume runs must never serve
+    a PARTIAL positional store (silent phrase misses for done shards):
+    load_positional raises until a positions=True run backfills the
+    missing shards, after which phrase matches equal a clean
+    positions=True build."""
+    from solr_indexer_spark.index.positions import (
+        phrase_match, positional_postings)
+    base = str(tmp_path / "mixed")
+    # group 1 WITH positions, rest WITHOUT
+    b1 = ResumableIndexBuild(base, run_id="m0", shard_range=SHARD_RANGE,
+                             group_size=3, positions=True)
+    b1.run(docs, max_groups=1)
+    b2 = ResumableIndexBuild(base, run_id="m1", shard_range=SHARD_RANGE,
+                             group_size=3, positions=False)
+    b2.run(docs)
+    assert len(b2.manifest.done_partitions()) == 9
+    with pytest.raises(ValueError, match="positional store missing"):
+        b2.load_positional(spark)
+
+    # a positions=True re-run backfills ONLY the missing shards'
+    # positional store — blocks are untouched (no shard rebuilt)
+    b3 = ResumableIndexBuild(base, run_id="m2", shard_range=SHARD_RANGE,
+                             group_size=3, positions=True)
+    out = b3.run(docs)
+    assert out["shards_built"] == 0 and out["positions_backfilled"] == 6
+    pos_store = b3.load_positional(spark)
+    ref_pos = positional_postings(docs, id_col="doc_id")
+    got = {r["doc_id"] for r in
+           phrase_match(pos_store, ["term0000", "term0001"], slop=3)
+           .collect()}
+    want = {r["doc_id"] for r in
+            phrase_match(ref_pos, ["term0000", "term0001"], slop=3)
+            .collect()}
+    assert got == want and want
