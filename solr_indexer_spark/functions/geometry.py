@@ -376,21 +376,26 @@ def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
 
     r5 (VERDICT r4 #6): hole-free shells with ≥2 proper crossings are
     repaired by :func:`repair_multicross_ring` — full arrangement
-    noding + GEOS's winding rule (CCW faces survive as shells, CW
-    lobes outside every shell are dropped), emitting POLYGON or
-    MULTIPOLYGON as the face count dictates. A CW pocket strictly
-    INSIDE a shell (buffer(0) would carve a hole) is deliberately NOT
-    repaired — it takes the ledgered pass-through below (the
-    conservative tail, see repair_multicross_ring).
+    noding + GEOS's winding rule, emitting POLYGON or MULTIPOLYGON as
+    the face count dictates.
 
-    The remaining HARDER invalidity tail (same-winding/overlapping
-    lobes where buffer(0) would UNION, holes present on the invalid
-    shell, MULTIPOLYGON members, zero-area slivers) still takes the
-    reference's repair-FAILED path: the original WKT comes back
-    unchanged and ``problem`` carries the explain-validity message for
-    the run_log ledger (the reference logs-and-continues; callers
-    route ``problem`` rows via :func:`route_invalid_geometries`).
-    Valid input → (wkt, None)."""
+    r6 (VERDICT r5 #4): the winding rule is now the FULL w ≥ 1 region
+    semantics — a CW pocket inside the kept shell becomes an interior
+    ring (hole carving), nested positive lobes collapse to their outer
+    boundary (buffer(0)'s UNION), and a self-TOUCHING shell (repeated
+    pinch vertex — the only single-walk shape that can pinch off an
+    opposite-winding pocket, since a proper crossing forces nested
+    loops to share winding sign) is detected and decomposed through
+    the same machinery.
+
+    The remaining HARDER invalidity tail (T-touches — a vertex lying
+    on another edge's interior, holes present on the invalid shell,
+    MULTIPOLYGON members, zero-area slivers, collinear-overlap edges)
+    still takes the reference's repair-FAILED path: the original WKT
+    comes back unchanged and ``problem`` carries the explain-validity
+    message for the run_log ledger (the reference logs-and-continues;
+    callers route ``problem`` rows via
+    :func:`route_invalid_geometries`). Valid input → (wkt, None)."""
     kind, data = parse_wkt_any(wkt)       # parse = the validity probe
     rings = []
     if kind == "polygon":
@@ -398,7 +403,7 @@ def validate_fix_geometry(wkt: str) -> tuple[str, str | None]:
     elif kind == "multipolygon":
         rings = [r for p in data for r in p]
     for ring in rings:
-        if _ring_self_intersects(ring):
+        if _ring_self_intersects(ring) or _ring_self_touches(ring):
             if kind == "polygon" and len(data) == 1:
                 kept = repair_bowtie_ring(data[0])
                 if kept is not None:
@@ -418,6 +423,16 @@ def _seg_intersect(p1, p2, p3, p4) -> bool:
         return (c[1] - a[1]) * (b[0] - a[0]) > (b[1] - a[1]) * (c[0] - a[0])
     return (ccw(p1, p3, p4) != ccw(p2, p3, p4)
             and ccw(p1, p2, p3) != ccw(p1, p2, p4))
+
+
+def _ring_self_touches(coords: list) -> bool:
+    """Non-simple by vertex repetition: an interior vertex visited
+    twice (the pinched 'banana' shell — OGC invalid; GEOS explain
+    reports Ring Self-intersection at the pinch). The closing
+    first==last vertex is not a touch."""
+    body = coords[:-1] if len(coords) > 1 and coords[0] == coords[-1] \
+        else coords
+    return len(set(body)) < len(body)
 
 
 def _ring_self_intersects(coords: list) -> bool:
@@ -515,22 +530,44 @@ def repair_multicross_ring(coords: list) -> list | None:
          stack: revisiting a point closes the loop opened at its first
          visit (all crossings are now shared vertices, so extracted
          loops are simple and can only touch at nodes).
-      3. **Winding rule**: CCW (positive-area) loops survive as
-         shells; CW loops lying outside every shell are dropped (the
-         inverted lobes). e.g. the double-dip ring (0 0, 3 0, 3 1,
-         2 1, 2 -1, 1 -1, 1 1, 0 1, 0 0) → the two CCW unit squares,
-         middle CW dip dropped — the documented
-         buffer(0)-vs-make_valid difference.
+      3. **Winding rule** (r6 — VERDICT r5 #4 generalization): GEOS
+         buffer(0) keeps the region of winding number ≥ 1. Because the
+         extracted loops are simple and touch only at nodes, any two
+         loops are disjoint or strictly nested, so the winding number
+         of the face just inside each loop L is pure arithmetic over
+         the containment forest:
 
-    Returns a list of polygons (each ``[shell]``, shells CCW as GEOS
-    emits, rings starting at their crossing node — same
-    starting-point deviation as the bowtie repair), sorted by their
-    shell's minimum vertex for deterministic output. Conservative:
-    returns None (callers ledger, the reference's repair-failed
-    pass-through) for anything outside the clean disjoint-faces
-    winding-rule case — overlapping/nested positive loops (buffer(0)
-    would UNION), a CW loop inside a shell (buffer(0) would carve a
-    hole), zero-area slivers, or loops whose vertices all coincide."""
+             w_in(L) = sign(L) + Σ sign(M) over loops M ⊋ L
+
+         with sign = +1 for CCW, −1 for CW, and crossing L's own
+         boundary outward changes w by −sign(L). A loop is a boundary
+         of the kept region iff w flips across it:
+
+         * CCW, w_in == 1  → **shell** (w_out = 0);
+         * CCW, w_in ≥ 2   → dropped — interior redundant boundary:
+           a positive lobe nested in another positive lobe, GEOS
+           UNIONs them (the kept outline is the outer loop alone);
+         * CW,  w_in == 0  → **hole** carved into the smallest shell
+           containing it (w_out = 1: inside the kept region, the
+           pocket itself excluded — GEOS's interior ring);
+         * CW,  w_in ≤ −1  → dropped inverted lobe outside the kept
+           region (the double-dip case: ring (0 0, 3 0, 3 1, 2 1,
+           2 -1, 1 -1, 1 1, 0 1, 0 0) → two CCW unit squares, middle
+           CW dip dropped — the documented buffer(0)-vs-make_valid
+           difference);
+         * CW,  w_in ≥ 1   → dropped (a pocket inside doubly-covered
+           region stays covered: w_out = w_in + 1 ≥ 2).
+
+    Returns a list of polygons (each ``[shell, *holes]``, shells CCW
+    and holes CW as GEOS emits, rings starting at their crossing
+    node — same starting-point deviation as the bowtie repair),
+    polygons sorted by their shell's minimum vertex and holes sorted
+    the same way for deterministic output. Conservative: returns None
+    (callers ledger, the reference's repair-failed pass-through) only
+    for what this model cannot classify — zero-area slivers, and
+    ambiguous containment (a loop vertex lying ON another loop's edge
+    away from a shared node, where strict point-in-ring votes
+    disagree)."""
     edges = list(zip(coords, coords[1:]))
     cuts: dict = {}                            # edge idx → [(t, point)]
     n_cross = 0
@@ -548,8 +585,8 @@ def repair_multicross_ring(coords: list) -> list | None:
                     t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) \
                         / (dx * dx + dy * dy)
                     cuts.setdefault(e, []).append((t, p))
-    if n_cross == 0:
-        return None
+    if n_cross == 0 and not _ring_self_touches(coords):
+        return None        # simple ring — nothing to decompose
     # noded walk: original vertices + crossing nodes in edge order
     walk = []
     for i, (a, _b) in enumerate(edges):
@@ -568,40 +605,55 @@ def repair_multicross_ring(coords: list) -> list | None:
         else:
             pos[pt] = len(path)
             path.append(pt)
-    shells, holes = [], []
-    for lp in loops:
-        a = _signed_area(lp)
-        if a == 0:
-            return None                        # degenerate sliver
-        (shells if a > 0 else holes).append(lp)
-    if not shells:
-        return None
+    areas = [_signed_area(lp) for lp in loops]
+    if any(a == 0 for a in areas):
+        return None                            # degenerate sliver
 
-    def inner_vertex(lp, other):
-        ov = set(other[:-1])
-        for v in lp[:-1]:
-            if v not in ov:
-                return v
-        return None
+    def contains(outer, inner) -> bool | None:
+        """inner strictly inside outer? All of inner's non-shared
+        vertices must agree (loops touch only at nodes, so a genuine
+        nesting is unanimous); a mixed vote or all-shared vertices →
+        None (ambiguous, caller ledgers)."""
+        ov = set(outer[:-1])
+        votes = [_point_in_ring(v, outer) for v in inner[:-1]
+                 if v not in ov]
+        if not votes or (any(votes) and not all(votes)):
+            return None
+        return votes[0]
 
-    for s1 in shells:                          # positives must be disjoint
-        for s2 in shells:
-            if s1 is s2:
+    n = len(loops)
+    inside = [[False] * n for _ in range(n)]   # inside[i][j]: i ⊂ j
+    for i in range(n):
+        for j in range(n):
+            if i == j:
                 continue
-            v = inner_vertex(s1, s2)
-            if v is None or _point_in_ring(v, s2):
+            c = contains(loops[j], loops[i])
+            if c is None:
                 return None
-    polys = [[s] for s in shells]
-    for h in holes:
-        # a CW loop strictly inside a shell would be a buffer(0) HOLE —
-        # conservative ledger (None); outside every shell it is an
-        # inverted lobe and drops
-        for (s,) in polys:
-            v = inner_vertex(h, s)
-            if v is None or _point_in_ring(v, s):
-                return None
-    polys.sort(key=lambda p: min(p[0]))
-    return polys
+            inside[i][j] = c
+
+    sign = [1 if a > 0 else -1 for a in areas]
+    w_in = [sign[i] + sum(sign[j] for j in range(n) if inside[i][j])
+            for i in range(n)]
+
+    shell_ids = [i for i in range(n) if sign[i] > 0 and w_in[i] == 1]
+    hole_ids = [i for i in range(n) if sign[i] < 0 and w_in[i] == 0]
+    if not shell_ids:
+        return None
+    polys = {i: [loops[i]] for i in shell_ids}
+    for h in hole_ids:
+        # smallest kept shell containing the pocket (kept shells are
+        # pairwise non-nested — a CCW loop inside a CCW loop has
+        # w_in ≥ 2 — so "smallest containing" is just "the containing")
+        owners = [s for s in shell_ids if inside[h][s]]
+        if not owners:
+            return None                        # w says hole but no owner
+        owner = min(owners, key=lambda s: abs(areas[s]))
+        polys[owner].append(loops[h])
+    out = [[rings[0]] + sorted(rings[1:], key=min)
+           for rings in polys.values()]
+    out.sort(key=lambda p: min(p[0]))
+    return out
 
 
 # ---- Arrow-batched Spark surface ------------------------------------------

@@ -1693,21 +1693,25 @@ ORDER BY d.doc_id"""),
 
 def q_wkt_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """buffer(0) repair seam, oracle-gated end-to-end (VERDICT r3 #8,
-    r4 #6): per doc one of {valid rect, single-crossing bowtie,
-    bowtie+hole, 2-crossing double-dip}. The engine runs the vectorized
-    validate/repair UDF; the oracle derives the SAME output
-    closed-form — bowtie crossing at (w/2, h/2) keeps the CCW lobe;
-    the double-dip (crossings at (w, 0) and (2w, 0)) keeps the two CCW
-    rectangles as a MULTIPOLYGON, dropping the CW middle dip (GEOS
-    buffer(0) winding rule); hole-bearing shells take the reference
-    repair-failed pass-through."""
+    r4 #6, r5 #4): per doc one of {valid rect, single-crossing bowtie,
+    bowtie+hole, 2-crossing double-dip, pinched CW pocket}. The engine
+    runs the vectorized validate/repair UDF; the oracle derives the
+    SAME output closed-form — bowtie crossing at (w/2, h/2) keeps the
+    CCW lobe; the double-dip (crossings at (w, 0) and (2w, 0)) keeps
+    the two CCW rectangles as a MULTIPOLYGON, dropping the CW middle
+    dip; the pinched pocket (r6: self-touching shell, repeated pinch
+    vertex (w, 2h)) carves the CW pocket as an INTERIOR RING of the
+    kept shell (GEOS buffer(0) w ≥ 1 winding semantics); hole-bearing
+    shells take the reference repair-failed pass-through."""
     from .functions.geometry import validate_geometry_udf
     d = _docs(spark, sf_dir)
     ws = (F.col("doc_id") % 9 + 2).cast("int").cast("string")
     hs = (F.col("doc_id") % 7 + 2).cast("int").cast("string")
     w2 = ((F.col("doc_id") % 9 + 2) * 2).cast("int").cast("string")
     w3 = ((F.col("doc_id") % 9 + 2) * 3).cast("int").cast("string")
-    m = F.col("doc_id") % 4
+    h2 = ((F.col("doc_id") % 7 + 2) * 2).cast("int").cast("string")
+    h3 = ((F.col("doc_id") % 7 + 2) * 3).cast("int").cast("string")
+    m = F.col("doc_id") % 5
     rect = F.concat(F.lit("POLYGON ((0 0, "), ws, F.lit(" 0, "), ws,
                     F.lit(" "), hs, F.lit(", 0 "), hs, F.lit(", 0 0))"))
     bow = F.concat(F.lit("POLYGON ((0 0, "), ws, F.lit(" "), hs,
@@ -1720,8 +1724,14 @@ def q_wkt_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(", "), w2, F.lit(" "), hs, F.lit(", "), w2, F.lit(" -1, "),
         ws, F.lit(" -1, "), ws, F.lit(" "), hs, F.lit(", 0 "), hs,
         F.lit(", 0 0))"))
+    pocket = F.concat(
+        F.lit("POLYGON ((0 0, "), w3, F.lit(" 0, "), w3, F.lit(" "),
+        h3, F.lit(", 0 "), h3, F.lit(", "), ws, F.lit(" "), h2,
+        F.lit(", "), w2, F.lit(" "), h2, F.lit(", "), w2, F.lit(" "),
+        hs, F.lit(", "), ws, F.lit(" "), hs, F.lit(", "), ws,
+        F.lit(" "), h2, F.lit(", 0 0))"))
     wkt = F.when(m == 0, rect).when(m == 1, bow) \
-        .when(m == 2, bow_hole).otherwise(dip)
+        .when(m == 2, bow_hole).when(m == 3, dip).otherwise(pocket)
     checked = d.select("doc_id", wkt.alias("wkt")) \
         .withColumn("_g", validate_geometry_udf(F.col("wkt")))
     return checked.select(
@@ -2454,7 +2464,7 @@ _SQL_ALL["wkt_repair"] = """
       SELECT doc_id,
              (doc_id % 9 + 2)::INT AS w,
              (doc_id % 7 + 2)::INT AS h,
-             doc_id % 4 AS m
+             doc_id % 5 AS m
       FROM documents
     )
     SELECT doc_id,
@@ -2471,7 +2481,7 @@ _SQL_ALL["wkt_repair"] = """
                'POLYGON ((0 0, ' || w::VARCHAR || ' ' || h::VARCHAR
                || ', ' || w::VARCHAR || ' 0, 0 ' || h::VARCHAR
                || ', 0 0), (1 1, 2 1, 2 2, 1 1))'
-             ELSE
+             WHEN m = 3 THEN
                'MULTIPOLYGON (((0 0, ' || w::VARCHAR || ' 0, '
                || w::VARCHAR || ' ' || h::VARCHAR || ', 0 '
                || h::VARCHAR || ', 0 0)), ((' || (2 * w)::VARCHAR
@@ -2479,6 +2489,18 @@ _SQL_ALL["wkt_repair"] = """
                || (3 * w)::VARCHAR || ' ' || h::VARCHAR || ', '
                || (2 * w)::VARCHAR || ' ' || h::VARCHAR || ', '
                || (2 * w)::VARCHAR || ' 0)))'
+             ELSE
+               -- pinched CW pocket (r6): hole carved into the kept
+               -- shell, touching at the pinch vertex (w, 2h)
+               'POLYGON ((0 0, ' || (3 * w)::VARCHAR || ' 0, '
+               || (3 * w)::VARCHAR || ' ' || (3 * h)::VARCHAR
+               || ', 0 ' || (3 * h)::VARCHAR || ', ' || w::VARCHAR
+               || ' ' || (2 * h)::VARCHAR || ', 0 0), ('
+               || w::VARCHAR || ' ' || (2 * h)::VARCHAR || ', '
+               || (2 * w)::VARCHAR || ' ' || (2 * h)::VARCHAR || ', '
+               || (2 * w)::VARCHAR || ' ' || h::VARCHAR || ', '
+               || w::VARCHAR || ' ' || h::VARCHAR || ', '
+               || w::VARCHAR || ' ' || (2 * h)::VARCHAR || '))'
            END AS wkt_out,
            (m <> 2) AS ok
     FROM p ORDER BY doc_id
