@@ -342,8 +342,10 @@ class TermDictLRU:
     Absent terms are cached as MISSING too (a repeated unknown-term
     query stays 0-job). After the index GROWS (streaming appends /
     segment adds), call ``invalidate()`` — both df/max_tfnorm values
-    and negative entries go stale when postings change; the query
-    server does this on its per-batch index refresh."""
+    and negative entries go stale when postings change;
+    ``QueryServer.refresh_index`` (streaming/query_server.py) does
+    this when swapping in a grown index in term_planning='lru'
+    mode."""
 
     _MISSING = object()
 

@@ -38,7 +38,17 @@ class QueryServer:
     def __init__(self, bindex: BlockIndex, out_dir: str,
                  tombstones: DataFrame | None = None,
                  use_theta_cache: bool = True,
-                 theta_min_postings: int | None = None):
+                 theta_min_postings: int | None = None,
+                 term_planning: str = "pin",
+                 term_lru_capacity: int = 100_000):
+        if term_planning not in ("pin", "lru"):
+            raise ValueError("term_planning must be 'pin' or 'lru'")
+        # 'pin' collects the whole term dictionary driver-side (0-job
+        # planning, right up to ~10⁶-term vocabularies); 'lru' is the
+        # web-vocabulary mode (VERDICT r5 #5) — bounded driver memory,
+        # 0 jobs on the Zipfian hot head, one pruned read per cold miss
+        self.term_planning = term_planning
+        self.term_lru_capacity = term_lru_capacity
         self.bindex = bindex
         self.out_dir = out_dir
         self.tombstones = tombstones
@@ -58,7 +68,8 @@ class QueryServer:
 
     def warm(self) -> None:
         """Pay the one-time costs up front: cache+coalesce the block
-        table, cache term_meta, pin the term dictionary driver-side."""
+        table, cache term_meta, and set up term planning (full driver
+        pin, or the bounded LRU in 'lru' mode)."""
         spark = self.bindex.blocks.sparkSession
         cpus = spark.sparkContext.defaultParallelism
         self.bindex.blocks = self.bindex.blocks.coalesce(
@@ -66,7 +77,24 @@ class QueryServer:
         self.bindex.blocks.count()
         self.bindex.term_meta = self.bindex.meta().cache()
         self.bindex.term_meta.count()
-        self.bindex.load_term_dict()
+        if self.term_planning == "pin":
+            self.bindex.load_term_dict()
+        else:
+            self.bindex.use_term_lru(self.term_lru_capacity)
+
+    def refresh_index(self, bindex: BlockIndex) -> None:
+        """Swap in a GROWN index (streamed appends): re-warm the block
+        and meta caches and refresh term planning — the pinned dict is
+        re-collected; in 'lru' mode the cache object carries over (its
+        capacity and hit counters survive) but is ``invalidate()``d,
+        because both df/max_tfnorm values and negative entries go
+        stale when postings change."""
+        if self.term_planning == "lru" and self.bindex.term_lru is not None:
+            lru = self.bindex.term_lru
+            lru.invalidate()
+            bindex.term_lru = lru
+        self.bindex = bindex
+        self.warm()
 
     def process_batch(self, queries: DataFrame, batch_id: int) -> None:
         """foreachBatch body — also directly callable for tests."""

@@ -152,6 +152,59 @@ def test_query_server_theta_cache_with_tombstones(spark, tmp_path):
     assert not ({7, 11} & {d for _, _, d, _ in got})
 
 
+def test_query_server_lru_mode_and_refresh(spark, tmp_path):
+    """r6 (VERDICT r5 #5 wiring): term_planning='lru' serves with the
+    bounded cache instead of the full driver pin — a repeated batch is
+    0-job-planned (hits grow, misses don't) — and refresh_index on a
+    GROWN index invalidates the cache so stale df/max_tfnorm never
+    plan a query (results on the grown index match direct topk_wand
+    against a fresh handle)."""
+    from pyspark.sql import functions as F
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.codec import build_block_index
+    from solr_indexer_spark.query.wand import topk_wand
+    from solr_indexer_spark.streaming.query_server import (
+        QUERY_SCHEMA, QueryServer)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    bindex = build_block_index(build_index(half, id_col="doc_id"),
+                               shard_range=4096)
+    srv = QueryServer(bindex, str(tmp_path / "lru_srv"),
+                      theta_min_postings=0, use_theta_cache=False,
+                      term_planning="lru", term_lru_capacity=64)
+    srv.warm()
+    assert srv.bindex.term_dict is None        # no full pin in lru mode
+    assert srv.bindex.term_lru is not None
+
+    batch = [(1, "dup value", 5), (2, "batch small", 5)]
+    qdf = spark.createDataFrame(batch, QUERY_SCHEMA)
+    srv.process_batch(qdf, 0)
+    lru = srv.bindex.term_lru
+    misses_after_first = lru.misses
+    srv.process_batch(qdf, 1)                  # warm: no new misses
+    assert lru.misses == misses_after_first
+    assert lru.hits > 0
+
+    # grow the index (the other half of the corpus), refresh, re-serve
+    grown = build_block_index(build_index(docs, id_col="doc_id"),
+                              shard_range=4096)
+    srv.refresh_index(grown)
+    assert srv.bindex is grown and grown.term_lru is lru
+    assert len(lru) == 0                       # invalidated
+    srv.process_batch(qdf, 2)
+    got = sorted(
+        tuple(r) for r in
+        srv.results(spark).filter("batch_id = 2")
+        .select("query_id", "doc_id", "rank").collect())
+    fresh = build_block_index(build_index(docs, id_col="doc_id"),
+                              shard_range=4096)
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["rank"]) for r in
+        topk_wand(qdf, fresh, theta_min_postings=0).collect())
+    assert got == want and got
+
+
 def test_query_server_rate_soak(spark, tmp_path):
     """VERDICT r3 #9 soak: a rate-source feed drives ≥20 micro-batches
     through the warmed server. Asserts exactly-once per-batch results
