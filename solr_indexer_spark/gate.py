@@ -587,6 +587,8 @@ def q_lucene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOL_GROUPS_Q = "(value OR hash) AND dup"
 CONJ_WAND_Q = "value AND dup"        # pure-MUST: conjunctive WAND branch
 OR_WAND_Q = "value hash dup"         # pure-SHOULD: θ-stack delegation
+CONJ_NOT_Q = "+value +hash -dup"     # MUST + MUST_NOT: exclusion lane
+OR_NOT_Q = "value dup -hash"         # SHOULD + MUST_NOT
 FIELD_RANGE_Q = "dup AND n_chars:[150 TO 400]"
 WILDCARD_Q = "s* AND gr?up AND dup"
 
@@ -599,7 +601,10 @@ def q_lucene_bool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-max delegation (VERDICT r5 #8 — ``search_tree(bindex=...)``
     routes pure-MUST trees through the conjunctive containment-pruned
     branch and pure-SHOULD trees through the θ stack), hash-checked
-    against the identical DuckDB scored-gate oracle."""
+    against the identical DuckDB scored-gate oracle. The 'conj_not' /
+    'or_not' rows (NEXT r6 #4) add MUST_NOT terms to both shapes:
+    prohibited docs decode once and exclude through the tombstone
+    anti-join lane (Lucene ReqExclScorer semantics)."""
     from .index.codec import build_block_index
     from .query.parser import search_lucene
     from .query.qtree import search_tree
@@ -618,7 +623,12 @@ def q_lucene_bool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                            bindex=bindex), "conj_wand")
     disj = fmt(search_tree(OR_WAND_Q, docs, index, k=10,
                            bindex=bindex), "or_wand")
+    conj_not = fmt(search_tree(CONJ_NOT_Q, docs, index, k=10,
+                               bindex=bindex), "conj_not")
+    or_not = fmt(search_tree(OR_NOT_Q, docs, index, k=10,
+                             bindex=bindex), "or_not")
     return (hits.unionByName(conj).unionByName(disj)
+            .unionByName(conj_not).unionByName(or_not)
             .orderBy("kind", "rnk"))
 
 
@@ -930,10 +940,20 @@ def _bool_groups_sql() -> str:
         ["value", "hash", "dup"],
         "list_contains(toks, 'value') OR list_contains(toks, 'hash') "
         "OR list_contains(toks, 'dup')")
+    conj_not = _scored_gate_sql(
+        ["value", "hash"],
+        "list_contains(toks, 'value') AND list_contains(toks, 'hash') "
+        "AND NOT list_contains(toks, 'dup')")
+    or_not = _scored_gate_sql(
+        ["value", "dup"],
+        "(list_contains(toks, 'value') OR list_contains(toks, 'dup')) "
+        "AND NOT list_contains(toks, 'hash')")
     return f"""
 SELECT 'groups' AS kind, * FROM ({groups}) g
 UNION ALL SELECT 'conj_wand' AS kind, * FROM ({conj}) c
 UNION ALL SELECT 'or_wand' AS kind, * FROM ({disj}) o
+UNION ALL SELECT 'conj_not' AS kind, * FROM ({conj_not}) cn
+UNION ALL SELECT 'or_not' AS kind, * FROM ({or_not}) onn
 ORDER BY kind, rnk
 """
 

@@ -510,21 +510,28 @@ class TreeExecutor:
         return base
 
 
-def _pure_term_mode(g: GroupN) -> str | None:
-    """'and' / 'or' when every clause is a plain text term with one
-    uniform modifier (the WAND-delegable shapes); None otherwise.
-    These are the two commonest Solr default-field query shapes
-    ('a b c' and 'a AND b AND c' — reference forwards them verbatim,
-    solrindexer/search.py:125-140)."""
+def _wand_delegable(g: GroupN) -> tuple[str, list[str]] | None:
+    """('and'|'or', [not_terms]) when every clause is a plain text term
+    and the POSITIVE clauses share one modifier — all MUST ('a AND b')
+    or all SHOULD ('a b c') — with any number of MUST_NOT terms riding
+    along ('+a +b -c', NEXT r6 #4); None otherwise. These are the
+    commonest Solr default-field query shapes (reference forwards them
+    verbatim, solrindexer/search.py:125-140). The NOT terms become an
+    exclusion doc-id set fed through the same deleted-docs anti-join
+    contract as tombstones — Lucene's ReqExclScorer shape — so θ
+    seeding, carry revalidation, and ranking all stay sound without a
+    dedicated code path. A tree with ONLY negative clauses is not
+    delegable (the general executor's all-docs-minus semantics)."""
     if not g.clauses:
         return None
     if any(not isinstance(n, TermN) for _, n in g.clauses):
         return None
-    mods = {mod for mod, _ in g.clauses}
-    if mods == {MUST}:
-        return "and"
-    if mods == {SHOULD}:
-        return "or"
+    pos = {mod for mod, _ in g.clauses if mod != MUST_NOT}
+    nots = [n.t for mod, n in g.clauses if mod == MUST_NOT]
+    if pos == {MUST}:
+        return "and", nots
+    if pos == {SHOULD}:
+        return "or", nots
     return None
 
 
@@ -551,11 +558,14 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     / ``carry_out`` forward to :func:`topk_wand`, so the θ cache now
     serves boolean queries too). A pure-MUST tree ('a AND b AND c')
     routes through the conjunctive branch: shard-containment block
-    pruning + all-terms-matched filter. Both are rank-identical to the
-    raw-postings path (same weights, same rounding contract, same
-    tie-break); trees with phrases / wildcards / fuzzies / fields /
-    NOT / nesting — and any call with ``fq`` — fall through to the
-    general executor below unchanged.
+    pruning + all-terms-matched filter. Flat term trees may also carry
+    MUST_NOT terms ('+a +b -c' / 'a b -c', NEXT r6 #4): the prohibited
+    terms' doc ids are decoded once (:func:`~.wand.docs_containing`)
+    and excluded through the same anti-join lane as tombstones. All are
+    rank-identical to the raw-postings path (same weights, same
+    rounding contract, same tie-break); trees with phrases / wildcards
+    / fuzzies / fields / nesting / only-negative clauses — and any call
+    with ``fq`` — fall through to the general executor below unchanged.
 
     ``tombstones`` (1-column id frame, Lucene deleted-docs bitmap
     semantics — r5): deleted ids are anti-joined out of the MATCH set
@@ -580,18 +590,29 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     spark = docs.sparkSession
 
     if bindex is not None and fq is None:
-        mode = _pure_term_mode(tree)
-        if mode is not None:
-            from .wand import topk_wand
+        deleg = _wand_delegable(tree)
+        if deleg is not None:
+            mode, not_terms = deleg
+            from .wand import docs_containing, topk_wand
             weights: dict[str, float] = {}
             for t, w in positive_weighted_terms(tree):
                 weights[t] = weights.get(t, 0.0) + float(w)
+            excl = tombstones
+            if not_terms:
+                # MUST_NOT terms ride the deleted-docs lane: docs
+                # carrying any prohibited term are anti-joined out of
+                # the match set exactly like tombstones (and union with
+                # real tombstones when both exist) — Lucene's
+                # ReqExclScorer semantics on the WAND path
+                nd = docs_containing(bindex, not_terms)
+                excl = nd if excl is None else \
+                    tombstones.select("doc_id").unionByName(nd)
             qdf = spark.createDataFrame(
                 [(0, q, int(k))], "query_id int, query_text string, k int")
             extra = {} if theta_min_postings is None else {
                 "theta_min_postings": theta_min_postings}
             hits = topk_wand(
-                qdf, bindex, tombstones=tombstones, start=start,
+                qdf, bindex, tombstones=excl, start=start,
                 term_weights={0: weights},
                 conjunctive_qids=frozenset({0}) if mode == "and"
                 else frozenset(),

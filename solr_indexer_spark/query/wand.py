@@ -166,6 +166,37 @@ def _champion_pass_map(depth_by_qid: dict, acc=None):
     return fn
 
 
+def docs_containing(bindex: BlockIndex, terms) -> DataFrame:
+    """One narrow ``doc_id`` column: every document carrying ANY of
+    ``terms`` — the MUST_NOT exclusion set for the boolean→WAND
+    delegation (NEXT r6 #4). Lucene executes ``-term`` as the prohibited
+    side of a ReqExclScorer over exactly this posting iterator
+    (reference forwards the raw q string, solrindexer/search.py:125-140).
+
+    Scale shape: only the named terms' blocks are read (the term join
+    prunes the term-bucketed block layout at row-group level), the
+    Arrow pass decodes the DOC stream alone (tf/dl streams stay
+    undecoded bytes), and nothing but 8-byte ids crosses the stage
+    boundary. Output may repeat a doc id across terms — every consumer
+    anti-joins, which is duplicate-insensitive, so no distinct() and no
+    extra exchange. Cost is bounded by the NOT terms' posting volume,
+    the same bound Lucene's exclusion iterator pays."""
+    from ..index.codec import decode_stream
+    spark = bindex.blocks.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
+                                "term string")
+    blk = bindex.blocks.join(F.broadcast(tdf), "term").select("docs")
+
+    def ids_map(it):
+        for pdf in it:
+            outs = [np.cumsum(decode_stream(buf).astype(np.int64))
+                    for buf in pdf["docs"]]
+            if outs:
+                yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+    return blk.mapInPandas(ids_map, schema="doc_id long")
+
+
 def terms_hash(counts) -> str:
     """Canonical hash of a query's term multiset ({term: qtf}) —
     ThetaCache entries carry it so a REUSED query id whose text changed

@@ -137,13 +137,71 @@ def test_disjunctive_delegation_feeds_theta_cache(spark, docs, index,
     assert "passA_blocks" not in dbg
 
 
+NOT_QUERIES = [
+    "+term0000 +term0101 -term0202",      # conj + NOT
+    "term0000 AND -term0101",             # conj + NOT, operator form
+    "term0000 term0101 -term0202",        # disjunction + NOT
+    "term0000 -term0101 -term0202",       # multiple NOTs
+    "term0000 AND term0101 -zzzabsent",   # NOT term absent: no-op
+]
+
+
+@pytest.mark.parametrize("q", NOT_QUERIES)
+def test_not_delegation_rank_identical(spark, docs, index, bindex, q):
+    """NEXT r6 #4: flat term trees WITH MUST_NOT terms delegate to the
+    block-max path (prohibited docs excluded through the tombstone
+    anti-join lane) and stay rank-identical to the general executor."""
+    tree_rows = search_tree(q, docs, index, k=10).collect()
+    wand_rows = search_tree(q, docs, index, k=10, bindex=bindex).collect()
+    assert _canon(wand_rows) == _canon(tree_rows)
+    assert tree_rows            # non-degenerate: the query matches docs
+
+
+def test_not_delegation_excludes_prohibited_docs(spark, docs, index,
+                                                 bindex):
+    """Every hit of '+a -b' genuinely lacks b, and the NOT clause
+    changes the result vs the positive-only query (non-vacuous)."""
+    from solr_indexer_spark.analysis import tokenize_col
+    pos_only = search_tree("term0000", docs, index, k=10,
+                           bindex=bindex).collect()
+    hits = search_tree("term0000 -term0101", docs, index, k=10,
+                       bindex=bindex).collect()
+    assert _canon(hits) != _canon(pos_only)
+    got = {r["doc_id"] for r in hits}
+    with_b = {r["doc_id"] for r in
+              docs.select("doc_id",
+                          tokenize_col(F.col("text")).alias("toks"))
+              .filter(F.array_contains("toks", "term0101"))
+              .select("doc_id").collect()}
+    assert got and not got & with_b
+
+
+def test_not_delegation_with_tombstones_rank_identical(spark, docs,
+                                                       index, bindex):
+    """NOT exclusion and real tombstones union on the delegated path."""
+    q = "term0000 AND term0101 -term0202"
+    base = search_tree(q, docs, index, k=10, bindex=bindex).collect()
+    assert len(base) >= 3
+    tomb = spark.createDataFrame(
+        [(int(base[0]["doc_id"]),), (int(base[1]["doc_id"]),)],
+        "doc_id long")
+    tree_rows = search_tree(q, docs, index, k=10,
+                            tombstones=tomb).collect()
+    wand_rows = search_tree(q, docs, index, k=10, bindex=bindex,
+                            tombstones=tomb).collect()
+    assert _canon(wand_rows) == _canon(tree_rows)
+    gone = {int(base[0]["doc_id"]), int(base[1]["doc_id"])}
+    assert not gone & {r["doc_id"] for r in wand_rows}
+
+
 def test_non_pure_trees_fall_through(spark, docs, index, bindex):
-    """Trees with NOT / phrases / fields / nesting never delegate —
-    results identical with and without bindex, and the debug counter
-    stays untouched (proof the WAND branch did not run)."""
+    """Trees with phrases / fields / nesting / only-negative clauses
+    never delegate — results identical with and without bindex, and
+    the debug counter stays untouched (proof the WAND branch did not
+    run)."""
     from solr_indexer_spark.index.positions import positional_postings
     pos = positional_postings(docs, id_col="doc_id")
-    for q in ["term0000 AND -term0101",
+    for q in ["-term0101",
               '"value table" AND term0000',
               "(term0000 OR term0101) AND term0202"]:
         dbg = {}
