@@ -488,10 +488,12 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     ``conjunctive_qids``: query ids with MUST (AND) semantics over
     their terms (VERDICT r5 #8): a doc matches only if it contains
     EVERY query term. These route through containment-based block
-    pruning (Lucene's conjunctive-scorer shape) rather than the θ
-    passes — see the conjunctive branch below. A conjunctive query
-    with a term absent from the index matches nothing (Lucene MUST
-    semantics), never "the remaining terms"."""
+    pruning (Lucene's conjunctive-scorer shape); above
+    ``theta_min_postings`` a seed-θ hybrid additionally skips whole
+    low-bound shards undecoded (NEXT r6 #3 — see the conjunctive
+    branches below). A conjunctive query with a term absent from the
+    index matches nothing (Lucene MUST semantics), never "the
+    remaining terms"."""
     spark = queries.sparkSession
 
     # ---- driver-side planning (no Spark jobs) --------------------------
@@ -547,9 +549,17 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     # conjunctive (MUST/AND) multi-term queries take their own branch:
     # containment pruning, all-terms-matched filter. A 1-term MUST is
     # semantically the plain single-term query — cheaper shared path.
-    conj = [p for p in plans
-            if p[0] in conjunctive_qids and len(p[2]) > 1]
-    conj_ids = {p[0] for p in conj}
+    # Adaptive split (NEXT r6 #3, mirroring the disjunctive small/multi
+    # split): below theta_min_postings the decode volume is too small
+    # for score pruning to beat its extra jobs — containment-only; at
+    # or above it, the seed-θ hybrid prunes low-bound shards undecoded.
+    conj_all = [p for p in plans
+                if p[0] in conjunctive_qids and len(p[2]) > 1]
+    conj = [p for p in conj_all
+            if postings_volume(p) < theta_min_postings]
+    conj_big = [p for p in conj_all
+                if postings_volume(p) >= theta_min_postings]
+    conj_ids = {p[0] for p in conj_all}
     # single-term queries AND small multi-term queries take the one-job
     # path (adaptive: θ-seeding only pays off once decode volume is big)
     single = [p for p in plans if len(p[2]) == 1]
@@ -610,6 +620,123 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                   .select("query_id", "doc_id", "score"))
         results.append(_rank_and_limit(
             scored, {p[0]: p[1] for p in conj}, tombstones, start))
+
+    # ---- conjunctive seed-θ hybrid (NEXT r6 #3): Lucene's advance() +
+    # score cutoff, distributed. Containment alone stops pruning when
+    # every term is common (every shard holds every term). The sound
+    # score prune for a conjunction is SHARD-grained, not block-grained:
+    # dropping one term's block under-scores a doc AND breaks its
+    # matched-term count, so a true match could vanish — but a whole
+    # shard is skippable once ub(q,s) = Σ_t max_b(w_t·bound(b)) — an
+    # upper bound on ANY doc's conjunctive score there — cannot reach
+    # the verified k-th best. θ_c comes from a seed pass: survivor
+    # shards ranked by ub descending are decoded until the match-count
+    # CAP (min_t postings(t,s) ≥ true matches) covers 3·(k+start);
+    # their verified conjunctive matches give the exact running k-th
+    # score. Fewer than k+start seed matches → no θ_c → every remaining
+    # shard decodes (exactness never depends on the seed being lucky).
+    # All bounds come from the same 3 narrow header columns containment
+    # reads; packed posting binaries move only for decoded shards.
+    if conj_big:
+        from .. import B as _Bc, K1 as _K1c
+        # full-ulp margin (wider than pass B's half-ulp): a doc whose
+        # raw score rounds into a tie with θ_c can sit a full grid step
+        # below it and still win the doc_id tie-break — never prune it
+        conj_eps = 10.0 ** (-SCORE_DECIMALS)
+        hqt = qterms_df([(qid, t, wt) for qid, _, w, *_ in conj_big
+                         for t, wt in w.items()])
+        hnt = spark.createDataFrame(
+            [(qid, len(w), 3 * (k + start)) for qid, k, w, *_ in conj_big],
+            "query_id int, n_terms int, seed_cap long")
+        hblk = (bindex.blocks.join(F.broadcast(hqt), "term")
+                .withColumn("avgdl", F.lit(avgdl)))
+        # per-block conjunctive-score bound under the CURRENT avgdl
+        # (drift-safe (max_tf, min_dl) form, same as pass B)
+        bb = (F.col("w") * F.col("max_tf")
+              / (F.col("max_tf") + _K1c * (1.0 - _Bc + _Bc
+                                           * F.col("min_dl")
+                                           / F.lit(avgdl))))
+        per_ts = (hblk.select("query_id", "shard", "term",
+                              bb.alias("bb"), "n")
+                  .groupBy("query_id", "shard", "term")
+                  .agg(F.max("bb").alias("mb"), F.sum("n").alias("nsum")))
+        stats = (per_ts.groupBy("query_id", "shard")
+                 .agg(F.count("*").alias("_nt"), F.sum("mb").alias("ub"),
+                      F.min("nsum").alias("cap"))
+                 .join(F.broadcast(hnt), "query_id")
+                 .filter(F.col("_nt") == F.col("n_terms")))
+        wub = Window.partitionBy("query_id").orderBy(
+            F.col("ub").desc(), F.col("shard").asc())
+        stats = stats.withColumn(
+            "prior_cap",
+            F.coalesce(F.sum("cap").over(
+                wub.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)))
+
+        def conj_scored(blocks):
+            p = blocks.select("query_id", "w", "docs", "tfs", "dls",
+                              "avgdl") \
+                .mapInPandas(_score_blocks_map, schema=_PARTIAL_SCHEMA)
+            s = (p.groupBy("query_id", "doc_id")
+                 .agg(F.sum("s").alias("score"),
+                      F.count("*").alias("_m"))
+                 .join(F.broadcast(hnt.select("query_id", "n_terms")),
+                       "query_id")
+                 .filter(F.col("_m") == F.col("n_terms"))
+                 .select("query_id", "doc_id", "score"))
+            if tombstones is not None:
+                # θ_c must bound SURVIVING matches only (a tombstoned
+                # seed match would inflate it) — and filtering here
+                # lets the final rank run tombstone-free
+                s = s.join(tombstones.select("doc_id"), "doc_id",
+                           "left_anti")
+            return s
+
+        # seed pass: greedy-by-ub shard prefix whose cumulative cap
+        # reaches 3·(k+start); ≥1 shard always survives (prior_cap=0)
+        seed = stats.filter(F.col("prior_cap") < F.col("seed_cap")) \
+                    .select("query_id", "shard")
+        sblk = hblk.join(seed, ["query_id", "shard"], "left_semi")
+        hk_map = {p[0]: p[1] for p in conj_big}
+        depth_expr = F.coalesce(*([F.when(F.col("query_id") == qid,
+                                          F.lit(k + start))
+                                   for qid, k in hk_map.items()]
+                                  + [F.lit(10)]))
+        wk = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("score"), SCORE_DECIMALS).desc(),
+            F.col("doc_id").asc())
+        top1 = (conj_scored(sblk)
+                .withColumn("_r", F.row_number().over(wk))
+                .filter(F.col("_r") <= depth_expr)
+                .collect())                       # ≤ (k+start)·Q rows
+        theta_c = {r["query_id"]: float(r["score"]) for r in top1
+                   if r["_r"] == hk_map[r["query_id"]] + start}
+        if debug_block_counts is not None:
+            debug_block_counts["conjh_blocks_total"] = hblk.count()
+            debug_block_counts["conjh_seed_blocks"] = sblk.count()
+
+        # rest pass: non-seed shards that can still beat θ_c; queries
+        # whose seed under-filled (no θ_c) keep every remaining shard
+        rest = stats.filter(F.col("prior_cap") >= F.col("seed_cap"))
+        if theta_c:
+            thdf = spark.createDataFrame(
+                [(qid, th) for qid, th in theta_c.items()],
+                "query_id int, th double")
+            rest = (rest.join(F.broadcast(thdf), "query_id", "left")
+                    .filter(F.col("th").isNull()
+                            | (F.col("ub") >= F.col("th")
+                               - F.lit(conj_eps))))
+        rblk = hblk.join(rest.select("query_id", "shard"),
+                         ["query_id", "shard"], "left_semi")
+        if debug_block_counts is not None:
+            debug_block_counts["conjh_rest_blocks"] = rblk.count()
+        pass1 = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+             for r in top1],
+            "query_id int, doc_id long, score double")
+        # tombstones already applied inside conj_scored on both passes
+        results.append(_rank_and_limit(
+            conj_scored(rblk).unionByName(pass1), hk_map, None, start))
 
     # ---- one-job path: decode all query-term blocks, no θ pass --------
     # single-term queries skip the (query, doc) sum entirely: a doc

@@ -194,6 +194,75 @@ def test_not_delegation_with_tombstones_rank_identical(spark, docs,
     assert not gone & {r["doc_id"] for r in wand_rows}
 
 
+HYBRID_QUERIES = [
+    "term0000 AND term0101",
+    "term0001 AND term0400 AND term0002",
+    "uniq00000047 AND term0000",
+    "term0000 AND term0101 -term0202",     # NOT rides the hybrid too
+]
+
+
+@pytest.mark.parametrize("q", HYBRID_QUERIES)
+def test_conjunctive_theta_hybrid_rank_identical(spark, docs, index,
+                                                 bindex, q):
+    """NEXT r6 #3: the seed-θ hybrid (forced via theta_min_postings=0)
+    is rank-identical to the containment-only branch (forced via a huge
+    threshold) on every conjunctive shape, k and paging included."""
+    a = search_tree(q, docs, index, k=10, bindex=bindex,
+                    theta_min_postings=10**9).collect()
+    dbg = {}
+    b = search_tree(q, docs, index, k=10, bindex=bindex,
+                    theta_min_postings=0, debug_block_counts=dbg).collect()
+    assert _canon(b) == _canon(a)
+    assert "conjh_blocks_total" in dbg          # hybrid branch ran
+    p_a = search_tree(q, docs, index, k=3, start=2, bindex=bindex,
+                      theta_min_postings=10**9).collect()
+    p_b = search_tree(q, docs, index, k=3, start=2, bindex=bindex,
+                      theta_min_postings=0).collect()
+    assert _canon(p_b) == _canon(p_a)
+
+
+def test_conjunctive_hybrid_with_tombstones(spark, docs, index, bindex):
+    """θ_c must be seeded over SURVIVING matches: tombstone the top
+    seed docs and the hybrid still matches the containment-only path."""
+    q = "term0000 AND term0101"
+    base = search_tree(q, docs, index, k=10, bindex=bindex).collect()
+    tomb = spark.createDataFrame(
+        [(int(r["doc_id"]),) for r in base[:3]], "doc_id long")
+    a = search_tree(q, docs, index, k=10, bindex=bindex, tombstones=tomb,
+                    theta_min_postings=10**9).collect()
+    b = search_tree(q, docs, index, k=10, bindex=bindex, tombstones=tomb,
+                    theta_min_postings=0).collect()
+    assert _canon(b) == _canon(a)
+    assert not {int(r["doc_id"]) for r in base[:3]} \
+        & {r["doc_id"] for r in b}
+
+
+def test_conjunctive_hybrid_shard_prune_fires(spark):
+    """On a tf-skewed corpus (one doc-range shard holds every high-tf
+    doc) the seed shard's verified θ_c prunes ALL other shards
+    undecoded: rest_blocks == 0 while the containment survivor set
+    spans every shard — and the result is still exact."""
+    rows = []
+    for d in range(20):                        # shard 0: tf=20 each term
+        rows.append((d, ("alpha beta " * 20).strip()))
+    for d in range(128, 640):                  # shards 1..4: tf=1 + filler
+        rows.append((d, "alpha beta " + " ".join(
+            f"w{(d * 7 + j) % 97}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=128)
+    a = search_tree("alpha AND beta", docs, index, k=5, bindex=bindex,
+                    theta_min_postings=10**9).collect()
+    dbg = {}
+    b = search_tree("alpha AND beta", docs, index, k=5, bindex=bindex,
+                    theta_min_postings=0, debug_block_counts=dbg).collect()
+    assert _canon(b) == _canon(a) and len(b) == 5
+    assert {r["doc_id"] for r in b} <= set(range(20))
+    assert dbg["conjh_rest_blocks"] == 0, dbg
+    assert dbg["conjh_seed_blocks"] < dbg["conjh_blocks_total"], dbg
+
+
 def test_non_pure_trees_fall_through(spark, docs, index, bindex):
     """Trees with phrases / fields / nesting / only-negative clauses
     never delegate — results identical with and without bindex, and
