@@ -456,6 +456,18 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
 # costs more (one extra Spark job) than the decode it would prune
 THETA_MIN_POSTINGS = 200_000
 
+# above this many indexed docs, the conjunctive hybrid's seed-order
+# prefix sum (prior_cap) switches from one per-query window partition to
+# a two-level distributed prefix sum (NEXT r6 backlog #4): below it, a
+# query's survivor-shard stats rows (≤ n_docs/shard_range narrow rows)
+# comfortably fit one task; above it, the single-partition window
+# becomes the one per-query serial stage in an otherwise fully
+# distributed plan. 50M docs ≈ ≤12k stats rows/query at the smallest
+# (streaming, 4096-doc) shard grain — far under the switch's overhead
+# crossover, so the sandbox always takes the window and the two-level
+# path is exercised by tests that lower this constant.
+CONJ_STATS_TWO_LEVEL_MIN_DOCS = 50_000_000
+
 
 def topk_wand(queries: DataFrame, bindex: BlockIndex,
               default_k: int = 10,
@@ -665,13 +677,56 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                       F.min("nsum").alias("cap"))
                  .join(F.broadcast(hnt), "query_id")
                  .filter(F.col("_nt") == F.col("n_terms")))
-        wub = Window.partitionBy("query_id").orderBy(
-            F.col("ub").desc(), F.col("shard").asc())
-        stats = stats.withColumn(
-            "prior_cap",
-            F.coalesce(F.sum("cap").over(
-                wub.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0)))
+        # prior_cap = Σ cap over every shard EARLIER in the greedy seed
+        # order (ub desc, shard asc — a strict total order per query:
+        # shard is unique, so no tie ambiguity anywhere below).
+        if bindex.n_docs < CONJ_STATS_TWO_LEVEL_MIN_DOCS:
+            wub = Window.partitionBy("query_id").orderBy(
+                F.col("ub").desc(), F.col("shard").asc())
+            stats = stats.withColumn(
+                "prior_cap",
+                F.coalesce(F.sum("cap").over(
+                    wub.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+        else:
+            # two-level distributed prefix sum: at 10¹²⁺ docs one
+            # query's survivor-shard rows (~n_docs/shard_range) no
+            # longer belong in a single window partition. Level 1:
+            # range-partition on the seed order and prefix-sum WITHIN
+            # each contiguous range; level 2: per-range totals (≤
+            # nparts·Q rows — broadcast) are themselves prefix-summed
+            # in seed order and joined back as the range's offset.
+            # Exactness does not depend on WHERE the range boundaries
+            # fall (any contiguous split of a strict total order gives
+            # the same prefix sums), so RangePartitioner's sampling
+            # never affects results — only balance.
+            # both consumers below (the level-1 window and the offs
+            # aggregate) read the SAME range exchange — identical
+            # subplans, so exchange/stage reuse serves one shuffle to
+            # both and their _pid values agree by construction
+            nparts = max(2, spark.sparkContext.defaultParallelism)
+            ranged = stats.repartitionByRange(
+                nparts, F.col("query_id").asc(), F.col("ub").desc(),
+                F.col("shard").asc()) \
+                .withColumn("_pid", F.spark_partition_id())
+            w_in = Window.partitionBy("query_id", "_pid").orderBy(
+                F.col("ub").desc(), F.col("shard").asc())
+            intra = ranged.withColumn(
+                "_intra", F.coalesce(F.sum("cap").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+            w_off = Window.partitionBy("query_id").orderBy(
+                F.col("_pid").asc())
+            offs = (ranged.groupBy("query_id", "_pid")
+                    .agg(F.sum("cap").alias("_tot"))
+                    .withColumn("_off", F.coalesce(F.sum("_tot").over(
+                        w_off.rowsBetween(Window.unboundedPreceding,
+                                          -1)), F.lit(0)))
+                    .select("query_id", "_pid", "_off"))
+            stats = (intra.join(F.broadcast(offs), ["query_id", "_pid"])
+                     .withColumn("prior_cap",
+                                 F.col("_off") + F.col("_intra"))
+                     .drop("_pid", "_intra", "_off"))
 
         def conj_scored(blocks):
             p = blocks.select("query_id", "w", "docs", "tfs", "dls",

@@ -263,6 +263,51 @@ def test_conjunctive_hybrid_shard_prune_fires(spark):
     assert dbg["conjh_seed_blocks"] < dbg["conjh_blocks_total"], dbg
 
 
+def test_conjunctive_hybrid_two_level_prefix(spark, docs, index, bindex,
+                                             monkeypatch):
+    """NEXT r6 backlog #4: prior_cap via the two-level distributed
+    prefix sum (forced by zeroing CONJ_STATS_TWO_LEVEL_MIN_DOCS) is
+    rank-identical to the single-window path on every hybrid shape —
+    the seed/rest split is a pure function of prior_cap, so identical
+    results prove identical prefix sums."""
+    from solr_indexer_spark.query import wand as wand_mod
+    refs = [search_tree(q, docs, index, k=10, bindex=bindex,
+                        theta_min_postings=0).collect()
+            for q in HYBRID_QUERIES]
+    monkeypatch.setattr(wand_mod, "CONJ_STATS_TWO_LEVEL_MIN_DOCS", 0)
+    for q, ref in zip(HYBRID_QUERIES, refs):
+        dbg = {}
+        got = search_tree(q, docs, index, k=10, bindex=bindex,
+                          theta_min_postings=0,
+                          debug_block_counts=dbg).collect()
+        assert _canon(got) == _canon(ref), q
+        assert "conjh_blocks_total" in dbg      # hybrid branch ran
+
+
+def test_two_level_prefix_prune_still_fires(spark, monkeypatch):
+    """The two-level prior_cap preserves the seed order's pruning: on
+    the tf-skewed corpus the rest pass still decodes ZERO blocks."""
+    from solr_indexer_spark.query import wand as wand_mod
+    rows = []
+    for d in range(20):
+        rows.append((d, ("alpha beta " * 20).strip()))
+    for d in range(128, 640):
+        rows.append((d, "alpha beta " + " ".join(
+            f"w{(d * 7 + j) % 97}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_index(docs, id_col="doc_id")
+    bindex = build_block_index(index, shard_range=128)
+    a = search_tree("alpha AND beta", docs, index, k=5, bindex=bindex,
+                    theta_min_postings=10**9).collect()
+    monkeypatch.setattr(wand_mod, "CONJ_STATS_TWO_LEVEL_MIN_DOCS", 0)
+    dbg = {}
+    b = search_tree("alpha AND beta", docs, index, k=5, bindex=bindex,
+                    theta_min_postings=0, debug_block_counts=dbg).collect()
+    assert _canon(b) == _canon(a) and len(b) == 5
+    assert dbg["conjh_rest_blocks"] == 0, dbg
+    assert dbg["conjh_seed_blocks"] < dbg["conjh_blocks_total"], dbg
+
+
 def test_non_pure_trees_fall_through(spark, docs, index, bindex):
     """Trees with phrases / fields / nesting / only-negative clauses
     never delegate — results identical with and without bindex, and
