@@ -390,6 +390,13 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
                 .join(tombstones.select("doc_id"), "doc_id", "left_anti")
                 .select("query_id", "doc_id", "s")
                 .mapInPandas(heap_only, schema=_PARTIAL_SCHEMA))
+    # driver merge is bounded at k·P·Q rows: each mapInPandas task
+    # emits at most depth=k+start rows per query (_heap_partials), so
+    # P tasks × Q queries × depth. At P = spark.sql.shuffle.partitions
+    # (32 here; hundreds-to-thousands on a cluster), Q ≈ tens and
+    # k ≈ 10-100, that is ≤ a few million tiny (qid, doc, score) rows
+    # worst-case — planning-sized, not data-sized. P follows the shard
+    # repartition above, NOT the number of input blocks.
     by_q: dict[int, list] = {}
     for r in cand.collect():
         by_q.setdefault(int(r["query_id"]), []).append(
