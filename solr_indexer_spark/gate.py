@@ -74,9 +74,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(page_clause: str = "rnk <= k") -> str:
+def _bm25_sql(page_clause: str = "rnk <= k", final: str | None = None) -> str:
+    """``final`` replaces the default tail SELECT (it sees the
+    ``ranked`` CTE: query_id, k, doc_id, score_r, rnk)."""
     tok = tokenize_sql("text")
     qtok = tokenize_sql("query_text")
+    tail = final or f"""
+SELECT query_id, rnk, doc_id, score_r
+FROM ranked WHERE {page_clause}
+ORDER BY query_id, rnk
+"""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok}) AS term FROM documents
@@ -115,9 +122,7 @@ ranked AS (
          ) AS rnk
   FROM scored
 )
-SELECT query_id, rnk, doc_id, score_r
-FROM ranked WHERE {page_clause}
-ORDER BY query_id, rnk
+{tail}
 """
 
 
@@ -138,28 +143,64 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _page2_union(run) -> DataFrame:
+    """Page 2 fetched BOTH ways, union'd with a kind discriminator:
+    kind='offset' = Solr start=5 rows with ABSOLUTE ranks; kind='cursor'
+    = the same page re-fetched through the cursorMark machinery
+    (query/cursor.py — page 1 at k=5 is served, its last row's rank
+    tuple becomes the mark, and the cursored call returns the top-k
+    strictly after it with PAGE-relative ranks). The hash check against
+    one oracle ranking proves the two paging contracts agree row-for-
+    row — the cursor path is the deep-paging scale story (heap depth k
+    at any depth vs the offset path's start+k)."""
+    from .query.cursor import decode_cursors, page_cursors
+    off = run(start=5).select(
+        "query_id", F.lit("offset").alias("kind"),
+        F.col("rank").cast("long").alias("rnk"),
+        "doc_id", F.round("score", 4).alias("score_r"))
+    page1 = run(k_override=5)
+    after = decode_cursors(page_cursors(page1))
+    cur = run(after=after).select(
+        "query_id", F.lit("cursor").alias("kind"),
+        F.col("rank").cast("long").alias("rnk"),
+        "doc_id", F.round("score", 4).alias("score_r"))
+    # queries absent from `after` (zero page-1 matches) would get their
+    # FIRST page back from an unfiltered cursor call — Solr returns the
+    # unchanged mark instead; restrict to queries that produced one
+    cur = cur.where(F.col("query_id").isin(list(after)) if after
+                    else F.lit(False))
+    return off.unionByName(cur).orderBy("kind", "query_id", "rnk")
+
+
 def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Solr `start` paging: rows (5, 5+k] with ABSOLUTE ranks —
-    the exact scorer."""
+    """Solr paging, exact scorer: start=5 offset rows + the identical
+    page re-served via cursorMark (see _page2_union)."""
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
-    hits = topk(_queries_df(spark), index, start=5)
-    return hits.select("query_id",
-                       F.col("rank").cast("long").alias("rnk"),
-                       "doc_id", F.round("score", 4).alias("score_r"))
+    q = _queries_df(spark)
+
+    def run(start=0, after=None, k_override=None):
+        qq = q.withColumn("k", F.lit(k_override)) if k_override else q
+        return topk(qq, index, start=start, after=after)
+
+    return _page2_union(run)
 
 
 def q_wand_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same page through the block-max pruned path — θ seeded at depth
-    start+k so the page stays exact."""
+    """Same pages through the block-max pruned path — offset page θ
+    seeded at depth start+k; cursor page on the θ-free decode path
+    (unfiltered θ is unsound under an after-filter)."""
     from .index.codec import build_block_index
     from .query.wand import topk_wand
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
     bindex = build_block_index(index, shard_range=4096)
-    hits = topk_wand(_queries_df(spark), bindex, start=5,
-                     theta_min_postings=0)
-    return hits.select("query_id",
-                       F.col("rank").cast("long").alias("rnk"),
-                       "doc_id", F.round("score", 4).alias("score_r"))
+    q = _queries_df(spark)
+
+    def run(start=0, after=None, k_override=None):
+        qq = q.withColumn("k", F.lit(k_override)) if k_override else q
+        return topk_wand(qq, bindex, start=start, after=after,
+                         theta_min_postings=0)
+
+    return _page2_union(run)
 
 
 def q_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1970,8 +2011,26 @@ _SQL_ALL = {
         SELECT doc_id, rnk, n_chars::BIGINT AS n_chars
         FROM r WHERE rnk <= 10 ORDER BY rnk
     """,
-    "bm25_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
-    "wand_page2": _bm25_sql("rnk > 5 AND rnk <= 5 + k"),
+    # page 2 both ways: the offset page (absolute ranks) and the
+    # cursorMark page (relative ranks) must be the same rows — the
+    # oracle derives both from ONE ranking, the engine fetches the
+    # cursor rows through the real mark-encode/decode/after machinery
+    "bm25_page2": _bm25_sql(final="""
+SELECT query_id, 'offset' AS kind, rnk, doc_id, score_r
+FROM ranked WHERE rnk > 5 AND rnk <= 5 + k
+UNION ALL
+SELECT query_id, 'cursor' AS kind, rnk - 5 AS rnk, doc_id, score_r
+FROM ranked WHERE rnk > 5 AND rnk <= 5 + k
+ORDER BY kind, query_id, rnk
+"""),
+    "wand_page2": _bm25_sql(final="""
+SELECT query_id, 'offset' AS kind, rnk, doc_id, score_r
+FROM ranked WHERE rnk > 5 AND rnk <= 5 + k
+UNION ALL
+SELECT query_id, 'cursor' AS kind, rnk - 5 AS rnk, doc_id, score_r
+FROM ranked WHERE rnk > 5 AND rnk <= 5 + k
+ORDER BY kind, query_id, rnk
+"""),
     "lucene_query": _lucene_sql(),
     "lucene_bool_groups": _bool_groups_sql(),
     "lucene_field_range": _field_range_sql(),

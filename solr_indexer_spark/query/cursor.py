@@ -1,0 +1,110 @@
+"""Solr cursorMark deep paging — the scale-correct alternative to
+``start=``.
+
+Offset paging (``start=N``, solrindexer/search.py:133's ``rows``/
+``start`` request params) costs O(N+k) at every depth: each partition's
+rank heap holds N+k candidates, N+k rows cross the final exchange, and
+the rank window numbers N+k rows — page 1000 over a 100 TB corpus does
+1000x the work of page 1, entirely to throw the first N rows away.
+
+Cursor paging (Solr's ``cursorMark=*`` / ``nextCursorMark`` contract,
+Lucene ``searchAfter``) pins the page boundary to a VALUE instead of an
+offset: the (rounded score, doc id) rank tuple of the last row served.
+The next page is then a plain top-k over the strictly-after-filtered
+match set — heap depth k, transfer k, at ANY depth. The filter is a
+pure per-row predicate, so it pipelines inside the decode/score stage
+and never adds a shuffle.
+
+Solr's contract, mirrored here:
+  * the sort must end in the unique id tiebreak — our rank order
+    (round(score, SCORE_DECIMALS) DESC, id ASC) always does;
+  * ``cursorMark=*`` means "first page" (no filter);
+  * the mark is an opaque serialized sort tuple, valid across index
+    updates (a refreshed index just changes what sorts after it);
+  * ``start`` must be 0 when a cursor is supplied.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import SCORE_DECIMALS
+
+#: the "first page" cursor (Solr CursorMarkParams.CURSOR_MARK_START)
+CURSOR_START = "*"
+
+
+def encode_cursor(score_r: float, doc_id) -> str:
+    """Opaque mark from the rank tuple of a page's last row. The score
+    MUST already be rounded to SCORE_DECIMALS — the rank-order contract
+    rounds before comparing, so the cursor does too."""
+    payload = json.dumps([float(score_r), doc_id],
+                         separators=(",", ":"))
+    return base64.urlsafe_b64encode(payload.encode()).decode()
+
+
+def decode_cursor(mark: str) -> tuple | None:
+    """(score_r, doc_id) from a mark; None for the start cursor."""
+    if mark == CURSOR_START:
+        return None
+    score_r, doc_id = json.loads(
+        base64.urlsafe_b64decode(mark.encode()).decode())
+    return (float(score_r), doc_id)
+
+
+def page_cursors(hits: DataFrame, id_col: str = "doc_id") -> dict:
+    """{query_id: nextCursorMark} from a served page (a ``topk`` /
+    ``topk_wand`` result with query_id/score/rank columns): the rank
+    tuple of each query's LAST row, rounded IN Spark so the mark is
+    bit-identical to the engine's own rank key (Java HALF_UP — never
+    re-round driver-side, Python rounds half-to-even). Queries with an
+    empty page have no entry (Solr: cursor unchanged = page exhausted).
+    The collect is planning-sized: one row per query."""
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").desc())
+    rows = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id",
+                    F.round("score", SCORE_DECIMALS).alias("_s"), id_col)
+            .collect())
+    return {int(r["query_id"]): encode_cursor(float(r["_s"]), r[id_col])
+            for r in rows}
+
+
+def decode_cursors(marks: dict) -> dict:
+    """{query_id: mark} -> the ``after=`` dict ``topk``/``topk_wand``
+    take; start cursors drop out (no filter)."""
+    out = {}
+    for qid, mark in marks.items():
+        tup = decode_cursor(mark)
+        if tup is not None:
+            out[int(qid)] = tup
+    return out
+
+
+def apply_after(scored: DataFrame, after: dict, id_col: str) -> DataFrame:
+    """Keep rows strictly AFTER each query's cursor in the rank order
+    (round(score, SCORE_DECIMALS) DESC, id ASC); queries absent from
+    ``after`` pass through unfiltered (their first page).
+
+    One broadcast of a Q-row frame; the filter is a per-row predicate
+    evaluated inside whatever stage produced ``scored`` — no shuffle,
+    no extra pass, which is the whole point of cursor paging at scale.
+    """
+    if not after:
+        return scored
+    spark = scored.sparkSession
+    id_type = dict(scored.dtypes)[id_col]
+    adf = spark.createDataFrame(
+        [(int(q), float(s), i) for q, (s, i) in after.items()],
+        f"query_id int, _a_score double, _a_id {id_type}")
+    sr = F.round(F.col("score"), SCORE_DECIMALS)
+    return (scored.join(F.broadcast(adf), "query_id", "left")
+            .filter(F.col("_a_score").isNull()
+                    | (sr < F.col("_a_score"))
+                    | ((sr == F.col("_a_score"))
+                       & (F.col(id_col) > F.col("_a_id"))))
+            .drop("_a_score", "_a_id"))

@@ -414,9 +414,13 @@ def _fused_topk_local(blk: DataFrame, branch_k: dict, start: int,
 
 def _rank_and_limit(scored: DataFrame, k_map: dict,
                     tombstones: DataFrame | None,
-                    start: int = 0) -> DataFrame:
+                    start: int = 0,
+                    after: dict | None = None) -> DataFrame:
     """``start`` = Solr paging offset: rows (start, start+k] with their
-    ABSOLUTE ranks."""
+    ABSOLUTE ranks. ``after`` = {query_id: (score_r, id)} cursors
+    (query/cursor.py): rows strictly after the cursor with PAGE-relative
+    ranks — the filter pipelines into the scoring stage, so the rank
+    heap holds k rows at any page depth (the deep-paging scale path)."""
     if tombstones is not None:
         # deleted-docs bitmap semantics: excluded before ranking. Join
         # strategy left to AQE (VERDICT r5 #1, same as the fused path):
@@ -424,6 +428,9 @@ def _rank_and_limit(scored: DataFrame, k_map: dict,
         # delete-heavy interval between compactions degrades to a
         # shuffled anti-join instead of failing the broadcast outright
         scored = scored.join(tombstones, "doc_id", "left_anti")
+    if after:
+        from .cursor import apply_after
+        scored = apply_after(scored, after, "doc_id")
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col("doc_id").asc()]
     if len(k_map) == 1:
@@ -484,6 +491,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
               carry_out: dict | None = None,
               debug_block_counts: dict | None = None,
               start: int = 0,
+              after: dict | None = None,
               term_weights: dict | None = None,
               conjunctive_qids: frozenset = frozenset()) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exact
@@ -512,7 +520,21 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     low-bound shards undecoded (NEXT r6 #3 — see the conjunctive
     branches below). A conjunctive query with a term absent from the
     index matches nothing (Lucene MUST semantics), never "the
-    remaining terms"."""
+    remaining terms".
+    ``after``: {query_id: (score_r, doc_id)} cursors (Solr cursorMark —
+    query/cursor.py): top-k strictly after the cursor, page-relative
+    ranks, heap depth k at ANY page depth. Cursored queries route off
+    the θ-pruned branches: every θ here (champion-pass seed, carry,
+    conjunctive θ_c) lower-bounds the k-th best UNFILTERED score, which
+    OVERestimates the k-th best after-the-cursor score — pruning with
+    it could drop true answers — so they take the decode-all (or, for
+    conjunctions, containment-pruned: containment is θ-free and stays
+    sound) path with the cursor as a pipelined per-row filter. Mutually
+    exclusive with ``start``."""
+    if after and start:
+        raise ValueError("cursor paging requires start=0 (Solr "
+                         "cursorMark contract)")
+    after = after or {}
     spark = queries.sparkSession
 
     # ---- driver-side planning (no Spark jobs) --------------------------
@@ -574,20 +596,25 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     # or above it, the seed-θ hybrid prunes low-bound shards undecoded.
     conj_all = [p for p in plans
                 if p[0] in conjunctive_qids and len(p[2]) > 1]
+    # cursored queries never take a θ branch (see the docstring): conj
+    # keeps its θ-free containment pruning, disjunctive ones decode all
     conj = [p for p in conj_all
-            if postings_volume(p) < theta_min_postings]
+            if postings_volume(p) < theta_min_postings or p[0] in after]
     conj_big = [p for p in conj_all
-                if postings_volume(p) >= theta_min_postings]
+                if postings_volume(p) >= theta_min_postings
+                and p[0] not in after]
     conj_ids = {p[0] for p in conj_all}
     # single-term queries AND small multi-term queries take the one-job
     # path (adaptive: θ-seeding only pays off once decode volume is big)
     single = [p for p in plans if len(p[2]) == 1]
     small_multi = [p for p in plans if len(p[2]) > 1
                    and p[0] not in conj_ids
-                   and postings_volume(p) < theta_min_postings]
+                   and (postings_volume(p) < theta_min_postings
+                        or p[0] in after)]
     multi = [p for p in plans if len(p[2]) > 1
              and p[0] not in conj_ids
-             and postings_volume(p) >= theta_min_postings]
+             and postings_volume(p) >= theta_min_postings
+             and p[0] not in after]
     results = []
 
     # ---- conjunctive branch (VERDICT r5 #8): Lucene's MUST scorer ------
@@ -638,7 +665,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                   .filter(F.col("_matched") == F.col("n_terms"))
                   .select("query_id", "doc_id", "score"))
         results.append(_rank_and_limit(
-            scored, {p[0]: p[1] for p in conj}, tombstones, start))
+            scored, {p[0]: p[1] for p in conj}, tombstones, start,
+            after))
 
     # ---- conjunctive seed-θ hybrid (NEXT r6 #3): Lucene's advance() +
     # score cutoff, distributed. Containment alone stops pruning when
@@ -814,7 +842,12 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     # r4-draft branch-local fusion paid twice. Tombstones of ANY size
     # ride as a broadcast anti-join inside the fused job (VERDICT r4
     # #2) — no driver kill-set, no fallback to the window plan
-    use_fused = FUSED_BATCHED and len(k_map) > 1
+    # cursored batches skip fusion: the fused heap keeps top-depth rows
+    # per partition BEFORE any after-filter could run, so a cursor would
+    # have to be applied inside the heap fn — the window path applies it
+    # as a pipelined pre-rank predicate instead (cursored batches are
+    # the rare case; fusing them is a possible future refinement)
+    use_fused = FUSED_BATCHED and len(k_map) > 1 and not after
     fused_blks: list = []
     fused_k: dict = {}
     fused_colocate = False
@@ -845,7 +878,7 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 scored = partials.groupBy("query_id", "doc_id") \
                     .agg(F.sum("s").alias("score"))
             results.append(_rank_and_limit(scored, k_map, tombstones,
-                                           start))
+                                           start, after))
 
     # ---- multi-term: theta seeding + pruned exact pass (2 jobs) --------
     if multi:
