@@ -217,18 +217,32 @@ def q_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Solr sort= param: q='dup', sort=n_chars desc — field ordering
-    over the posting-matched set, id tiebreak."""
-    from .query.scorer import topk_sorted
+    """Result-set shaping, two kinds union'd: kind='sort' = Solr
+    sort= param (q='dup', sort=n_chars desc — field ordering over the
+    posting-matched set, id tiebreak); kind='collapse' = Solr collapse
+    qparser (q='dup', {!collapse field=lang} — one best-scoring doc
+    per lang, collapsed set re-ranked by score)."""
+    from .query.scorer import topk_collapse, topk_sorted
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
     q = spark.createDataFrame([(1, "dup", 10)],
                               "query_id int, query_text string, k int")
     hits = topk_sorted(q, index, docs.select("doc_id", "n_chars"),
                        sort=[("n_chars", "desc")])
-    return hits.select("doc_id",
-                       F.col("rank").cast("long").alias("rnk"),
-                       F.col("n_chars").cast("long").alias("n_chars"))
+    srt = hits.select(
+        F.lit("sort").alias("kind"), "doc_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("double").alias("score_r"))
+    col = topk_collapse(q, index, docs.select("doc_id", "lang"),
+                        collapse_field="lang")
+    clp = col.select(
+        F.lit("collapse").alias("kind"), "doc_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.lit(None).cast("long").alias("n_chars"),
+        "lang", F.round("score", 4).alias("score_r"))
+    return srt.unionByName(clp).orderBy("kind", "rnk")
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,16 +1029,39 @@ def _wildcard_sql() -> str:
 
 
 def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Facet counts over a result set (Solr facet.field on q=dup):
-    top-50 BM25 hits → groupBy(lang).count()."""
+    """Result-set analytics, three kinds union'd over the same q=dup
+    top-50 hit set: kind='facet' = Solr facet.field counts (lang);
+    kind='stats' = the Solr StatsComponent on n_chars (count/missing/
+    min/max/sum/mean/stddev + exact interpolated quartiles+p90,
+    query/stats.py); kind='mlt' = MoreLikeThis seeded by the #1 hit
+    (top-5 tf·idf interesting terms → BM25 over them, seed excluded,
+    query/mlt.py). Schema: (kind, key, n, val)."""
+    from .query.mlt import more_like_this
+    from .query.stats import field_stats
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
     q = spark.createDataFrame([(1, "dup", 50)],
                               "query_id int, query_text string, k int")
-    hits = topk(q, index).select("doc_id")
-    return (docs.join(F.broadcast(hits), "doc_id")
-            .groupBy("lang").agg(F.count("*").alias("n"))
-            .orderBy("lang"))
+    hits_full = topk(q, index)
+    hits = hits_full.select("doc_id")
+    facets = (docs.join(F.broadcast(hits), "doc_id")
+              .groupBy("lang").agg(F.count("*").alias("n"))
+              .select(F.lit("facet").alias("kind"),
+                      F.col("lang").alias("key"), "n",
+                      F.lit(None).cast("double").alias("val")))
+    stats = (field_stats(hits, docs, "n_chars")
+             .select(F.lit("stats").alias("kind"),
+                     F.col("stat").alias("key"),
+                     F.lit(None).cast("long").alias("n"),
+                     F.round("val", 4).alias("val")))
+    seed = hits_full.filter(F.col("rank") == 1).collect()[0]["doc_id"]
+    mlt = (more_like_this([seed], index, docs, max_terms=5, k=10)
+           .select(F.lit("mlt").alias("kind"),
+                   F.col("doc_id").cast("string").alias("key"),
+                   F.col("rank").cast("long").alias("n"),
+                   F.round("score", 4).alias("val")))
+    return facets.unionByName(stats).unionByName(mlt) \
+        .orderBy("kind", "key")
 
 
 def _lucene_sql() -> str:
@@ -1083,10 +1120,64 @@ ranked AS (
          row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
                             doc_id) AS rnk
   FROM scored
+),
+hits AS (SELECT doc_id FROM ranked WHERE rnk <= 50),
+hitdocs AS (
+  SELECT d.* FROM documents d JOIN hits USING (doc_id)
+),
+stats AS (
+  SELECT * FROM (
+    SELECT 'count' AS key, count(n_chars)::DOUBLE AS val FROM hitdocs
+    UNION ALL SELECT 'missing',
+      sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE FROM hitdocs
+    UNION ALL SELECT 'min', min(n_chars)::DOUBLE FROM hitdocs
+    UNION ALL SELECT 'max', max(n_chars)::DOUBLE FROM hitdocs
+    UNION ALL SELECT 'sum', sum(n_chars)::DOUBLE FROM hitdocs
+    UNION ALL SELECT 'mean', avg(n_chars::DOUBLE) FROM hitdocs
+    UNION ALL SELECT 'stddev', stddev_samp(n_chars::DOUBLE) FROM hitdocs
+    UNION ALL SELECT 'p25', quantile_cont(n_chars::DOUBLE, 0.25) FROM hitdocs
+    UNION ALL SELECT 'p50', quantile_cont(n_chars::DOUBLE, 0.50) FROM hitdocs
+    UNION ALL SELECT 'p75', quantile_cont(n_chars::DOUBLE, 0.75) FROM hitdocs
+    UNION ALL SELECT 'p90', quantile_cont(n_chars::DOUBLE, 0.90) FROM hitdocs
+  )
+),
+seed AS (SELECT doc_id FROM ranked WHERE rnk = 1),
+seed_tf AS (
+  SELECT term, count(*) AS tf FROM tfd JOIN seed USING (doc_id) GROUP BY 1
+),
+interesting AS (
+  SELECT term FROM (
+    SELECT s.term,
+           row_number() OVER (
+             ORDER BY round(s.tf * ln(1.0 + (corpus.n_docs - df.df + 0.5)
+                                            / (df.df + 0.5)),
+                            {SCORE_DECIMALS}) DESC, s.term ASC) AS pos
+    FROM seed_tf s JOIN df USING (term) CROSS JOIN corpus
+  ) WHERE pos <= 5
+),
+mlt_scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  WHERE tf.term IN (SELECT term FROM interesting)
+    AND tf.doc_id NOT IN (SELECT doc_id FROM seed)
+  GROUP BY tf.doc_id
+),
+mlt_ranked AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                            doc_id) AS rnk
+  FROM mlt_scored
 )
-SELECT d.lang, count(*) AS n
-FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rnk <= 50
-GROUP BY d.lang ORDER BY d.lang
+SELECT 'facet' AS kind, d.lang AS key, count(*) AS n, NULL::DOUBLE AS val
+FROM hitdocs d GROUP BY d.lang
+UNION ALL
+SELECT 'stats', key, NULL::BIGINT, round(val, 4) FROM stats
+UNION ALL
+SELECT 'mlt', doc_id::VARCHAR, rnk, score_r FROM mlt_ranked WHERE rnk <= 10
+ORDER BY kind, key
 """
 
 
@@ -1999,7 +2090,14 @@ _SQL_ALL = {
         "(SELECT doc_id FROM documents "
         " WHERE lang = 'en' AND n_chars >= 150)"),
     "sort_by_field": f"""
-        WITH m AS (
+        WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+        dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+        corpus AS (SELECT count(*) AS n_docs,
+                          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        m AS (
           SELECT doc_id, n_chars FROM documents
           WHERE list_contains({tokenize_sql('text')}, 'dup')
         ),
@@ -2007,9 +2105,41 @@ _SQL_ALL = {
           SELECT doc_id, n_chars,
                  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
           FROM m
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl
+                                                / corpus.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN corpus
+          WHERE tf.term = 'dup'
+          GROUP BY tf.doc_id
+        ),
+        heads AS (
+          SELECT s.doc_id, d.lang, s.score,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY round(s.score, {SCORE_DECIMALS}) DESC, s.doc_id
+                 ) AS gr
+          FROM scored s JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+        ),
+        collapsed AS (
+          SELECT doc_id, lang, round(score, 4) AS score_r,
+                 row_number() OVER (
+                   ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id
+                 ) AS rnk
+          FROM heads WHERE gr = 1
         )
-        SELECT doc_id, rnk, n_chars::BIGINT AS n_chars
-        FROM r WHERE rnk <= 10 ORDER BY rnk
+        SELECT 'sort' AS kind, doc_id, rnk, n_chars::BIGINT AS n_chars,
+               NULL::VARCHAR AS lang, NULL::DOUBLE AS score_r
+        FROM r WHERE rnk <= 10
+        UNION ALL
+        SELECT 'collapse' AS kind, doc_id, rnk, NULL::BIGINT AS n_chars,
+               lang, score_r
+        FROM collapsed WHERE rnk <= 10
+        ORDER BY kind, rnk
     """,
     # page 2 both ways: the offset page (absolute ranks) and the
     # cursorMark page (relative ranks) must be the same rows — the

@@ -1,0 +1,166 @@
+"""Result-set shaping operators: field collapsing (Solr collapse
+qparser null policies / select field), the stats component, and
+MoreLikeThis (seed exclusion, interesting-term determinism)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexer_spark.corpus import synth_pages
+from solr_indexer_spark.extract import extract_pages, latest_wins, validate
+from solr_indexer_spark.index.build import build_index
+from solr_indexer_spark.index.codec import assign_doc_ids
+from solr_indexer_spark.query.mlt import interesting_terms, more_like_this
+from solr_indexer_spark.query.scorer import topk, topk_collapse
+from solr_indexer_spark.query.stats import field_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pages = latest_wins(extract_pages(synth_pages(spark, n_docs=400)))
+    good, _ = validate(pages)
+    with_ids = assign_doc_ids(good, id_col="url").cache()
+    with_ids.count()
+    return with_ids
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return build_index(docs, id_col="doc_id")
+
+
+@pytest.fixture(scope="module")
+def fields(docs):
+    # a collapse field with some NULLs: bucket by doc_id; every 7th null
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise((F.col("doc_id") % 5).cast("string")).alias("grp"),
+        F.length("text").alias("nlen")).cache()
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    return spark.createDataFrame(
+        [(1, "term0000 term0101", 50)],
+        "query_id int, query_text string, k int")
+
+
+def _full(qdf, index):
+    return topk(qdf.withColumn("k", F.lit(10_000)), index)
+
+
+def test_collapse_one_head_per_group(qdf, index, fields):
+    hits = topk_collapse(qdf, index, fields, "grp", default_k=10)
+    rows = hits.join(fields, "doc_id").collect()
+    grps = [r["grp"] for r in rows]
+    assert len(grps) == len(set(grps))
+    assert all(g is not None for g in grps)  # nullPolicy=ignore default
+
+
+def test_collapse_head_is_group_max_score(qdf, index, fields):
+    hits = topk_collapse(qdf, index, fields, "grp", default_k=10)
+    full = _full(qdf, index).join(fields, "doc_id") \
+        .filter(F.col("grp").isNotNull())
+    # reference: per group, best (round(score,6) desc, doc_id) head
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc())
+    want = (full.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .orderBy(F.round("score", 6).desc(), F.col("doc_id").asc())
+            .limit(10).select("doc_id").collect())
+    assert [r["doc_id"] for r in hits.orderBy("rank").collect()] == \
+        [r["doc_id"] for r in want]
+
+
+def test_collapse_null_policies(qdf, index, fields):
+    qbig = qdf.withColumn("k", F.lit(10_000))
+    ign = topk_collapse(qbig, index, fields, "grp",
+                        null_policy="ignore")
+    col = topk_collapse(qbig, index, fields, "grp",
+                        null_policy="collapse")
+    exp = topk_collapse(qbig, index, fields, "grp",
+                        null_policy="expand")
+    n_groups = ign.count()
+    assert col.count() == n_groups + 1          # nulls = one extra group
+    n_null_matched = (_full(qdf, index).join(fields, "doc_id")
+                      .filter(F.col("grp").isNull()).count())
+    assert exp.count() == n_groups + n_null_matched
+    with pytest.raises(ValueError):
+        topk_collapse(qdf, index, fields, "grp", null_policy="bogus")
+
+
+def test_collapse_select_by_field(qdf, index, fields):
+    """select=(nlen, desc): the representative is the LONGEST doc in
+    each group, not the best-scoring one."""
+    hits = topk_collapse(qdf, index, fields, "grp",
+                         select=("nlen", "desc"), default_k=10)
+    got = {r["grp"]: r["doc_id"] for r in
+           hits.join(fields, "doc_id").collect()}
+    full = _full(qdf, index).join(fields, "doc_id") \
+        .filter(F.col("grp").isNotNull()).collect()
+    best = {}
+    for r in full:
+        cur = best.get(r["grp"])
+        key = (-r["nlen"], r["doc_id"])
+        if cur is None or key < cur[0]:
+            best[r["grp"]] = (key, r["doc_id"])
+    for g, d in got.items():
+        assert best[g][1] == d
+
+
+def test_field_stats_values(spark, qdf, index, fields):
+    hits = _full(qdf, index).select("doc_id")
+    got = {r["stat"]: r["val"] for r in
+           field_stats(hits, fields, "nlen").collect()}
+    vals = sorted(r["nlen"] for r in
+                  fields.join(hits, "doc_id").collect())
+    n = len(vals)
+    assert got["count"] == n
+    assert got["missing"] == 0.0
+    assert got["min"] == vals[0] and got["max"] == vals[-1]
+    assert math.isclose(got["sum"], sum(vals))
+    assert math.isclose(got["mean"], sum(vals) / n)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    assert math.isclose(got["stddev"], sd, rel_tol=1e-9)
+
+    def q_cont(p):
+        idx = (n - 1) * p
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        return vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                    (0.9, "p90")]:
+        assert math.isclose(got[name], q_cont(p), rel_tol=1e-9), name
+
+
+def test_field_stats_approx_mode_runs(qdf, index, fields):
+    hits = _full(qdf, index).select("doc_id")
+    got = {r["stat"]: r["val"] for r in
+           field_stats(hits, fields, "nlen", exact=False).collect()}
+    assert got["count"] > 0 and got["p50"] is not None
+
+
+def test_mlt_excludes_seed_and_is_deterministic(docs, index):
+    seed = docs.select(F.min("doc_id").alias("m")).collect()[0]["m"]
+    out = more_like_this([seed], index, docs, max_terms=5, k=10)
+    rows = out.collect()
+    assert rows and all(r["doc_id"] != seed for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # interesting terms: exactly 5, all present in the seed text
+    terms = interesting_terms([seed], index, docs, max_terms=5).collect()
+    assert len(terms) == 5
+    seed_text = docs.filter(F.col("doc_id") == seed) \
+        .select("text").collect()[0]["text"].lower()
+    for t in terms:
+        assert t["term"] in seed_text
+    # rerun is identical (no nondeterminism in term choice or ranking)
+    out2 = more_like_this([seed], index, docs, max_terms=5, k=10)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in out2.collect()]
+
+
+def test_mlt_empty_seed(docs, index):
+    out = more_like_this([10**12], index, docs, k=5)
+    assert out.count() == 0
