@@ -458,7 +458,11 @@ def q_raw_doc_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[xml]-style raw-document fl transformer (solrindexer/search.py:
     222-229 --mmd: hits come back with the ORIGINAL stored document).
     Here: top-10 BM25 hits for 'dup' joined back to the full stored
-    text; sha256 proves byte-identity of the returned raw doc."""
+    text; sha256 proves byte-identity of the returned raw doc. The hl
+    column is Solr highlighting (functions/highlight.py): the ±3-token
+    fragment around the first 'dup', match wrapped in <em> tags —
+    hash-checked against the oracle's independent snippet derivation."""
+    from .functions.highlight import highlight_col
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
     q = spark.createDataFrame([(1, "dup", 10)],
@@ -467,7 +471,8 @@ def q_raw_doc_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  .alias("rnk"))
     return (docs.join(F.broadcast(hits), "doc_id")
             .select("doc_id", "rnk",
-                    F.sha2(F.encode("text", "UTF-8"), 256).alias("raw_sha"))
+                    F.sha2(F.encode("text", "UTF-8"), 256).alias("raw_sha"),
+                    highlight_col("text", ["dup"]).alias("hl"))
             .orderBy("rnk"))
 
 
@@ -2293,8 +2298,20 @@ ORDER BY kind, query_id, rnk
                                     DESC, doc_id) AS rnk
           FROM scored
         )
-        SELECT d.doc_id, r.rnk, sha256(d.text) AS raw_sha
+        SELECT d.doc_id, r.rnk, sha256(d.text) AS raw_sha,
+               CASE WHEN h.first IS NOT NULL THEN array_to_string(
+                 list_transform(
+                   h.tk[greatest(1, h.first - 3)
+                        : least(len(h.tk), h.first + 3)],
+                   t -> CASE WHEN t = 'dup'
+                             THEN '<em>' || t || '</em>' ELSE t END),
+                 ' ') END AS hl
         FROM documents d JOIN ranked r USING (doc_id)
+        JOIN (
+          SELECT doc_id, tk, nullif(list_position(tk, 'dup'), 0) AS first
+          FROM (SELECT doc_id, {tokenize_sql('text')} AS tk
+                FROM documents)
+        ) h USING (doc_id)
         WHERE r.rnk <= 10 ORDER BY r.rnk
     """,
     "sentinel_split": """

@@ -164,3 +164,34 @@ def test_mlt_excludes_seed_and_is_deterministic(docs, index):
 def test_mlt_empty_seed(docs, index):
     out = more_like_this([10**12], index, docs, k=5)
     assert out.count() == 0
+
+
+def test_highlight_edges(spark):
+    from solr_indexer_spark.functions.highlight import highlight_col
+    rows = [
+        (1, "dup starts the doc here and more words"),
+        (2, "words before and then dup at the very end"),
+        (3, "no query terms at all in this one"),
+        (4, "Mixed CASE Dup should match via analysis"),
+        (5, "aa bb cc dup dd ee ff then dup again later"),
+        (6, "one two three four dup"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["hl"] for r in
+           df.select("id", highlight_col("text", ["dup"]).alias("hl"))
+           .collect()}
+    assert got[1] == "<em>dup</em> starts the doc"            # clamp left
+    assert got[2] == "before and then <em>dup</em> at the very"
+    assert got[3] is None                                     # no match
+    assert got[4] == "mixed case <em>dup</em> should match via"
+    assert got[5] == "aa bb cc <em>dup</em> dd ee ff"         # first only
+    assert got[6] == "two three four <em>dup</em>"            # clamp right
+
+    two = {r["id"]: r["hl"] for r in
+           df.select("id",
+                     highlight_col("text", ["dup", "words"],
+                                   pre="[", post="]", window=2)
+                     .alias("hl")).collect()}
+    # first occurrence of ANY term wins; both terms wrapped in-frag
+    assert two[2] == "[words] before and"
+    assert two[1] == "[dup] starts the"
