@@ -135,3 +135,30 @@ class QueryServer:
 
     def results(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "results"))
+
+
+def socket_queries(spark, host: str = "127.0.0.1",
+                   port: int = 9999) -> DataFrame:
+    """Query stream from a TCP text feed — one query per line,
+    ``query_id<TAB>query_text<TAB>k`` — ready to pass to
+    :meth:`QueryServer.start`.
+
+    Spark's socket source is its live-feed dev/test source: NOT
+    replayable (offsets can't be re-read after a driver crash), so a
+    production deployment swaps in a replayable bus (Kafka) with this
+    same line parser; within a run, the server's per-batch overwrite
+    sink still makes foreachBatch retries idempotent. Malformed lines
+    (unparseable id) are dropped rather than poisoning the batch —
+    the same fail-soft rule as the ingest validators."""
+    raw = (spark.readStream.format("socket")
+           .option("host", host).option("port", port).load())
+    parts = F.split(F.col("value"), "\t")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    # id would THROW inside the micro-batch and kill the stream — the
+    # fail-soft contract needs NULL-and-drop
+    return (raw.select(
+        parts.getItem(0).try_cast("int").alias("query_id"),
+        parts.getItem(1).alias("query_text"),
+        parts.getItem(2).try_cast("int").alias("k"))
+        .filter(F.col("query_id").isNotNull()
+                & F.col("query_text").isNotNull()))

@@ -280,3 +280,75 @@ def test_query_server_rate_soak(spark, tmp_path):
     early = statistics.median(walls[1:6])
     late = statistics.median(walls[-5:])
     assert late <= early * 3, (early, late, walls)
+
+
+def test_query_server_socket_source(spark, tmp_path):
+    """NEXT r6 backlog: the socket source works against a loopback TCP
+    feed (the in-sandbox stand-in for an external query feed) — lines
+    parse to query rows, malformed lines drop, answers are
+    rank-identical to direct topk_wand."""
+    import socket
+    import threading
+    import time
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.codec import build_block_index
+    from solr_indexer_spark.query.wand import topk_wand
+    from solr_indexer_spark.streaming.query_server import (
+        QUERY_SCHEMA, QueryServer, socket_queries)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bindex = build_block_index(build_index(docs, id_col="doc_id"),
+                               shard_range=4096)
+    srv = QueryServer(bindex, str(tmp_path / "qsock"),
+                      theta_min_postings=0)
+    srv.warm()
+
+    lines = ["1\tbatch small scan\t10",
+             "2\tdup\t5",
+             "not-a-number\tbogus line\tx",   # must drop, not poison
+             "3\tvalue table\t10"]
+    listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    listener.bind(("127.0.0.1", 0))
+    port = listener.getsockname()[1]
+    listener.listen(1)
+    stop = threading.Event()
+
+    def feed():
+        conn, _ = listener.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        # the socket source treats disconnect as stream end — hold the
+        # connection open until the test has its results
+        stop.wait(timeout=60)
+        conn.close()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    stream = socket_queries(spark, "127.0.0.1", port)
+    q = srv.start(stream, checkpoint_dir=str(tmp_path / "ckpt_sock"))
+    try:
+        deadline = time.time() + 60
+        want_qids = {1, 2, 3}
+        got_qids: set = set()
+        while time.time() < deadline and got_qids < want_qids:
+            time.sleep(1.0)
+            try:
+                got_qids = {r["query_id"] for r in srv.results(spark)
+                            .select("query_id").distinct().collect()}
+            except Exception:
+                continue    # no batch written yet
+        assert got_qids >= want_qids
+    finally:
+        stop.set()
+        q.stop()
+        listener.close()
+
+    res = srv.results(spark).select(
+        "query_id", "doc_id", "score", "rank")
+    direct = topk_wand(
+        spark.createDataFrame([(1, "batch small scan", 10), (2, "dup", 5),
+                               (3, "value table", 10)], QUERY_SCHEMA),
+        bindex, theta_min_postings=0)
+    got = sorted(tuple(r) for r in res.distinct().collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
