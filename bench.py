@@ -274,6 +274,40 @@ def main() -> None:
     topk(qdf, index).collect()
     timings["bm25_exact_all"] = time.perf_counter() - t0
 
+    # deep-paging A/B (r6): the SAME deep page served via start=offset
+    # (rank heap + transfer of depth+k rows) vs via cursorMark (heap
+    # depth k at any page depth — query/cursor.py). 'dup' is
+    # single-term, so both runs decode identical blocks: the delta
+    # isolates the rank-depth cost, which grows with depth×partitions
+    # at scale while the cursor side stays flat
+    from solr_indexer_spark.query.cursor import (decode_cursors,
+                                                 page_cursors)
+    # deepest honest page: the corpus's most frequent term (term asc
+    # tiebreak — deterministic), page at 80% of its match count
+    top = (index.term_stats.orderBy(F.col("df").desc(),
+                                    F.col("term").asc())
+           .select("term", "df").first())
+    depth = int(int(top["df"]) * 0.8)
+    deep_q = spark.createDataFrame(
+        [(99, top["term"], 10)], "query_id int, query_text string, k int")
+    # unmeasured setup: the client's mark = rank tuple at `depth`
+    mark_row = topk_wand(deep_q.withColumn("k", F.lit(1)), bindex,
+                         start=depth - 1)
+    after = decode_cursors(page_cursors(mark_row))
+    if after:
+        best_off = best_cur = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            off_rows = topk_wand(deep_q, bindex, start=depth).collect()
+            best_off = min(best_off, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            cur_rows = topk_wand(deep_q, bindex, after=after).collect()
+            best_cur = min(best_cur, time.perf_counter() - t0)
+        assert [r["doc_id"] for r in off_rows] == \
+            [r["doc_id"] for r in cur_rows], "cursor page != offset page"
+        timings["deep_page_offset"] = best_off
+        timings["deep_page_cursor"] = best_cur
+
     # sloppy-phrase probe over the positional index (Lucene "a b"~N)
     best = float("inf")
     for _rep in range(2):

@@ -37,6 +37,10 @@ from ..analysis import SCORE_DECIMALS
 #: the "first page" cursor (Solr CursorMarkParams.CURSOR_MARK_START)
 CURSOR_START = "*"
 
+#: largest cursor batch inlined as a literal predicate (above this the
+#: after-filter becomes a broadcast join — see apply_after)
+_LITERAL_MAX = 16
+
 
 def encode_cursor(score_r: float, doc_id) -> str:
     """Opaque mark from the rank tuple of a page's last row. The score
@@ -90,18 +94,28 @@ def apply_after(scored: DataFrame, after: dict, id_col: str) -> DataFrame:
     (round(score, SCORE_DECIMALS) DESC, id ASC); queries absent from
     ``after`` pass through unfiltered (their first page).
 
-    One broadcast of a Q-row frame; the filter is a per-row predicate
-    evaluated inside whatever stage produced ``scored`` — no shuffle,
-    no extra pass, which is the whole point of cursor paging at scale.
-    """
+    For serving-sized batches (≤ _LITERAL_MAX cursors) the predicate
+    is inlined as literals — a pure pipelined filter, zero extra
+    exchanges, which is the whole point of cursor paging: the deep
+    page costs exactly a first page. Larger batches join a broadcast
+    Q-row frame instead (a Q-branch literal CASE would blow the
+    codegen method limit, the bucket_of lesson)."""
     if not after:
         return scored
+    sr = F.round(F.col("score"), SCORE_DECIMALS)
+    if len(after) <= _LITERAL_MAX:
+        qid = F.col("query_id")
+        cond = ~qid.isin([int(q) for q in after])
+        for q, (s, i) in after.items():
+            tup = (sr < F.lit(float(s))) | \
+                ((sr == F.lit(float(s))) & (F.col(id_col) > F.lit(i)))
+            cond = cond | ((qid == F.lit(int(q))) & tup)
+        return scored.filter(cond)
     spark = scored.sparkSession
     id_type = dict(scored.dtypes)[id_col]
     adf = spark.createDataFrame(
         [(int(q), float(s), i) for q, (s, i) in after.items()],
         f"query_id int, _a_score double, _a_id {id_type}")
-    sr = F.round(F.col("score"), SCORE_DECIMALS)
     return (scored.join(F.broadcast(adf), "query_id", "left")
             .filter(F.col("_a_score").isNull()
                     | (sr < F.col("_a_score"))

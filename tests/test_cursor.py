@@ -127,3 +127,15 @@ def test_cursored_queries_skip_theta_branches(qdf, bindex):
     assert "passB_blocks" not in counts
     exact = topk(qdf, bindex.as_logical_index(), after=after)
     assert _rows(hits) == _rows(exact)
+
+
+def test_after_broadcast_join_path(monkeypatch, spark, qdf, index):
+    """Batches above _LITERAL_MAX take the broadcast-join form of the
+    after-filter — force it and re-check page identity."""
+    from solr_indexer_spark.query import cursor as cur_mod
+    page1 = topk(qdf, index).where(F.col("rank") <= 5)
+    after = decode_cursors(page_cursors(page1))
+    want = _rows(topk(qdf, index, after=after))
+    monkeypatch.setattr(cur_mod, "_LITERAL_MAX", 0)
+    got = _rows(topk(qdf, index, after=after))
+    assert got == want and got
