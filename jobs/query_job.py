@@ -33,10 +33,20 @@ def main(argv=None) -> int:
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable; one top-k run per query")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--start", type=int, default=0,
+                    help="Solr offset paging (absolute ranks)")
+    ap.add_argument("--cursor", default=None,
+                    help="cursorMark deep paging: '*' or a mark printed "
+                         "by a previous run (mutually exclusive with "
+                         "--start; applies to every --query)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--lucene", action="store_true",
                     help="boolean query-string engine (qtree) per query")
     args = ap.parse_args(argv)
+    after_tup = None
+    if args.cursor is not None:
+        from solr_indexer_spark.query.cursor import decode_cursor
+        after_tup = decode_cursor(args.cursor)
 
     spark = SparkSession.builder.getOrCreate()
     build = ResumableIndexBuild(args.index)
@@ -58,7 +68,8 @@ def main(argv=None) -> int:
         parts = []
         for i, q in enumerate(args.query):
             one = search_lucene(q, docs_frame, view, k=args.k,
-                                pos_postings=pos) \
+                                pos_postings=pos, start=args.start,
+                                after=after_tup) \
                 .withColumn("query_id", F.lit(i))
             parts.append(one.select("query_id", "doc_id", "score", "rank"))
         hits = parts[0]
@@ -68,7 +79,9 @@ def main(argv=None) -> int:
         queries = spark.createDataFrame(
             [(i, q, args.k) for i, q in enumerate(args.query)],
             "query_id int, query_text string, k int")
-        hits = topk_wand(queries, bindex)
+        after = (None if after_tup is None
+                 else {i: after_tup for i in range(len(args.query))})
+        hits = topk_wand(queries, bindex, start=args.start, after=after)
     try:
         doc_map = spark.read.parquet(f"{args.index}/doc_map")
         hits = hits.join(F.broadcast(doc_map), "doc_id", "left")
@@ -78,6 +91,12 @@ def main(argv=None) -> int:
         hits.write.mode("overwrite").parquet(args.output)
     else:
         hits.show(100, truncate=False)
+    if args.cursor is not None:
+        # complete the cursorMark contract: print each query's mark for
+        # the NEXT page (absent = that query's results are exhausted)
+        from solr_indexer_spark.query.cursor import page_cursors
+        for qid, mark in sorted(page_cursors(hits).items()):
+            print(f"nextCursorMark[{qid}]={mark}")
     return 0
 
 

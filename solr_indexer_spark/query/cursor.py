@@ -78,6 +78,19 @@ def page_cursors(hits: DataFrame, id_col: str = "doc_id") -> dict:
             for r in rows}
 
 
+def page_cursor(hits: DataFrame, id_col: str = "doc_id") -> str | None:
+    """nextCursorMark for a SINGLE-query page (the query-string paths
+    ``search_tree``/``search_lucene`` return no query_id column): the
+    rank tuple of the page's last row, rounded in Spark (see
+    page_cursors). None for an empty page (cursor unchanged)."""
+    rows = (hits.orderBy(F.col("rank").desc()).limit(1)
+            .select(F.round("score", SCORE_DECIMALS).alias("_s"), id_col)
+            .collect())
+    if not rows:
+        return None
+    return encode_cursor(float(rows[0]["_s"]), rows[0][id_col])
+
+
 def decode_cursors(marks: dict) -> dict:
     """{query_id: mark} -> the ``after=`` dict ``topk``/``topk_wand``
     take; start cursors drop out (no filter)."""
@@ -87,6 +100,16 @@ def decode_cursors(marks: dict) -> dict:
         if tup is not None:
             out[int(qid)] = tup
     return out
+
+
+def after_predicate(after: tuple, id_col: str):
+    """Boolean column: row sorts strictly AFTER the cursor tuple in
+    the rank order (round(score, SCORE_DECIMALS) DESC, id ASC). Pure
+    literals — pipelines into whatever stage computes ``score``."""
+    s, i = after
+    sr = F.round(F.col("score"), SCORE_DECIMALS)
+    return (sr < F.lit(float(s))) | \
+        ((sr == F.lit(float(s))) & (F.col(id_col) > F.lit(i)))
 
 
 def apply_after(scored: DataFrame, after: dict, id_col: str) -> DataFrame:
@@ -106,10 +129,9 @@ def apply_after(scored: DataFrame, after: dict, id_col: str) -> DataFrame:
     if len(after) <= _LITERAL_MAX:
         qid = F.col("query_id")
         cond = ~qid.isin([int(q) for q in after])
-        for q, (s, i) in after.items():
-            tup = (sr < F.lit(float(s))) | \
-                ((sr == F.lit(float(s))) & (F.col(id_col) > F.lit(i)))
-            cond = cond | ((qid == F.lit(int(q))) & tup)
+        for q, tup in after.items():
+            cond = cond | ((qid == F.lit(int(q)))
+                           & after_predicate(tup, id_col))
         return scored.filter(cond)
     spark = scored.sparkSession
     id_type = dict(scored.dtypes)[id_col]

@@ -105,7 +105,8 @@ def _phrase_pred(toks_col, phrase: list[str]):
 def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
                   pos_postings: DataFrame | None = None,
                   tombstones: DataFrame | None = None,
-                  start: int = 0) -> DataFrame:
+                  start: int = 0,
+                  after: tuple | None = None) -> DataFrame:
     """Run a query-string search against an InvertedIndex + its doc
     table. Returns (<id>, score, rank). Gates (must/must_not/phrase/
     field filters) restrict the candidate set; BM25 over the scored
@@ -120,13 +121,17 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
     (Lucene behavior); otherwise they fall back to a doc-scan predicate.
     """
     from .scorer import score_exact
+    if after is not None and start:
+        raise ValueError("cursor paging requires start=0 (Solr "
+                         "cursorMark contract)")
     if _ADVANCED.search(q or ""):
         # grouping / AND / OR / NOT / ranges / wildcards → the boolean
         # tree engine (qtree.py); simple ±term/phrase/field queries keep
         # this flat path (identical results, fewer joins)
         from .qtree import search_tree
         return search_tree(q, docs, index, k=k, pos_postings=pos_postings,
-                           tombstones=tombstones, start=start)
+                           tombstones=tombstones, start=start,
+                           after=after)
     pq = parse_query(q)
     id_col = index.id_col
     spark = docs.sparkSession
@@ -196,6 +201,11 @@ def search_lucene(q: str, docs: DataFrame, index, k: int = 10,
         scored = scored.join(tombstones.select(id_col),
                              id_col, "left_anti")
 
+    if after is not None:
+        # cursorMark (query/cursor.py): a pipelined literal predicate —
+        # the deep page heaps k rows, not start+k
+        from .cursor import after_predicate
+        scored = scored.filter(after_predicate(after, id_col))
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
     # Solr `start` paging (r5 parity): rows (start, start+k], absolute ranks

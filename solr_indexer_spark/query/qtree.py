@@ -543,6 +543,7 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 fq: str | None = None,
                 tombstones: DataFrame | None = None,
                 start: int = 0,
+                after: tuple | None = None,
                 bindex=None,
                 theta_carry: dict | None = None,
                 carry_out: dict | None = None,
@@ -585,6 +586,9 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     a non-top-N term does not match (Lucene-faithful; was
     scoring-only before — VERDICT r2 ADVICE)."""
     from .scorer import score_weighted
+    if after is not None and start:
+        raise ValueError("cursor paging requires start=0 (Solr "
+                         "cursorMark contract)")
     tree = parse_tree(q)
     id_col = index.id_col
     spark = docs.sparkSession
@@ -613,6 +617,7 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 "theta_min_postings": theta_min_postings}
             hits = topk_wand(
                 qdf, bindex, tombstones=excl, start=start,
+                after={0: after} if after is not None else None,
                 term_weights={0: weights},
                 conjunctive_qids=frozenset({0}) if mode == "and"
                 else frozenset(),
@@ -703,6 +708,11 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
     else:
         scored = matched.withColumn("score", F.lit(0.0))
 
+    if after is not None:
+        # cursorMark (query/cursor.py): a pipelined literal predicate —
+        # the deep page heaps k rows, not start+k
+        from .cursor import after_predicate
+        scored = scored.filter(after_predicate(after, id_col))
     order = [F.round(F.col("score"), SCORE_DECIMALS).desc(),
              F.col(id_col).asc()]
     # Solr `start` paging (r5 parity with topk/topk_wand): rows

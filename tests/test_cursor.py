@@ -139,3 +139,38 @@ def test_after_broadcast_join_path(monkeypatch, spark, qdf, index):
     monkeypatch.setattr(cur_mod, "_LITERAL_MAX", 0)
     got = _rows(topk(qdf, index, after=after))
     assert got == want and got
+
+
+@pytest.mark.parametrize("q,use_bindex", [
+    ("term0000 term0101", False),        # flat path (search_lucene)
+    ("term0000 AND term0101", False),    # boolean tree, general executor
+    ("term0000 OR term0101", True),      # bindex-delegated SHOULD tree
+    ("term0000 AND term0101", True),     # bindex-delegated conjunction
+])
+def test_query_string_cursor_paging(docs, index, bindex, q, use_bindex):
+    """cursorMark on the query-string paths: page 2 by cursor must
+    equal page 2 by start=, with page-relative ranks."""
+    from solr_indexer_spark.query.cursor import decode_cursor, page_cursor
+    from solr_indexer_spark.query.parser import search_lucene
+
+    kw = {"bindex": bindex} if use_bindex else {}
+    if use_bindex:
+        from solr_indexer_spark.query.qtree import search_tree as run
+    else:
+        run = search_lucene
+
+    page1 = run(q, docs, index, k=5, **kw)
+    mark = page_cursor(page1)
+    assert mark is not None
+    after = decode_cursor(mark)
+    cur = run(q, docs, index, k=5, after=after, **kw)
+    off = run(q, docs, index, k=5, start=5, **kw)
+    got = [(r["doc_id"], round(r["score"], 6)) for r in
+           cur.orderBy("rank").collect()]
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            off.orderBy("rank").collect()]
+    assert got == want and got
+    assert [r["rank"] for r in cur.orderBy("rank").collect()] == \
+        list(range(1, len(got) + 1))
+    with pytest.raises(ValueError):
+        run(q, docs, index, k=5, start=5, after=after, **kw)

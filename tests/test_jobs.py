@@ -50,3 +50,38 @@ def test_build_then_query_jobs(spark, pages_dir, tmp_path):
         "--input", pages_dir, "--output", out,
         "--shard-range", "128", "--group-size", "4", "--run-id", "t2"])
     assert code == 1
+
+
+def test_query_job_cursor_paging(spark, pages_dir, tmp_path, capsys):
+    """The CLI cursor contract: --cursor '*' prints nextCursorMark;
+    feeding it back serves the following page, identical to --start."""
+    out = str(tmp_path / "idx_cur")
+    build_index_job.main([
+        "--input", pages_dir, "--output", out,
+        "--shard-range", "128", "--group-size", "4", "--run-id", "c"])
+
+    p1 = str(tmp_path / "p1")
+    code = query_job.main([
+        "--index", out, "--query", "term0000 term0101", "--k", "5",
+        "--cursor", "*", "--output", p1])
+    assert code == 0
+    marks = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("nextCursorMark[")]
+    assert len(marks) == 1
+    mark = marks[0].split("=", 1)[1]
+
+    p2 = str(tmp_path / "p2")
+    code = query_job.main([
+        "--index", out, "--query", "term0000 term0101", "--k", "5",
+        "--cursor", mark, "--output", p2])
+    assert code == 0
+    off = str(tmp_path / "off")
+    code = query_job.main([
+        "--index", out, "--query", "term0000 term0101", "--k", "5",
+        "--start", "5", "--output", off])
+    assert code == 0
+    got = sorted((r["doc_id"], round(r["score"], 6)) for r in
+                 spark.read.parquet(p2).collect())
+    want = sorted((r["doc_id"], round(r["score"], 6)) for r in
+                  spark.read.parquet(off).collect())
+    assert got == want and got
