@@ -246,8 +246,19 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary, two kinds: kind='stats' = the full (term, df,
+    cf) table; kind='suggest' = the Solr terms-component prefix
+    completion (terms.prefix='th', terms.sort=count — query/suggest.py)
+    with its rank in pos."""
+    from .query.suggest import suggest
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
-    return index.term_stats.orderBy("term")
+    base = index.term_stats.select(
+        F.lit("stats").alias("kind"), "term", "df", "cf",
+        F.lit(None).cast("int").alias("pos"))
+    sg = suggest(index, "th", count=10).select(
+        F.lit("suggest").alias("kind"), "term", "df",
+        F.lit(None).cast("long").alias("cf"), "pos")
+    return base.unionByName(sg).orderBy("kind", "term")
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,13 +1045,16 @@ def _wildcard_sql() -> str:
 
 
 def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Result-set analytics, three kinds union'd over the same q=dup
+    """Result-set analytics, four kinds union'd over the same q=dup
     top-50 hit set: kind='facet' = Solr facet.field counts (lang);
     kind='stats' = the Solr StatsComponent on n_chars (count/missing/
     min/max/sum/mean/stddev + exact interpolated quartiles+p90,
     query/stats.py); kind='mlt' = MoreLikeThis seeded by the #1 hit
     (top-5 tf·idf interesting terms → BM25 over them, seed excluded,
-    query/mlt.py). Schema: (kind, key, n, val)."""
+    query/mlt.py); kind='range' = Solr facet.range on n_chars
+    (start=0, end=2000, gap=200 — every bucket emitted, empties at 0,
+    query/facets.py). Schema: (kind, key, n, val)."""
+    from .query.facets import facet_range
     from .query.mlt import more_like_this
     from .query.stats import field_stats
     docs = _docs(spark, sf_dir)
@@ -1065,8 +1079,13 @@ def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("doc_id").cast("string").alias("key"),
                    F.col("rank").cast("long").alias("n"),
                    F.round("score", 4).alias("val")))
-    return facets.unionByName(stats).unionByName(mlt) \
-        .orderBy("kind", "key")
+    rng = (facet_range(hits, docs, "n_chars", 0, 2000, 200)
+           .select(F.lit("range").alias("kind"),
+                   F.col("lo").cast("long").cast("string").alias("key"),
+                   F.col("n").cast("long").alias("n"),
+                   F.col("hi").alias("val")))
+    return (facets.unionByName(stats).unionByName(mlt)
+            .unionByName(rng).orderBy("kind", "key"))
 
 
 def _lucene_sql() -> str:
@@ -1175,6 +1194,14 @@ mlt_ranked AS (
          row_number() OVER (ORDER BY round(score, {SCORE_DECIMALS}) DESC,
                             doc_id) AS rnk
   FROM mlt_scored
+),
+spine AS (SELECT unnest(range(0, 2000, 200)) AS lo),
+range_counts AS (
+  SELECT (floor(n_chars::DOUBLE / 200) * 200)::BIGINT AS lo,
+         count(*) AS n
+  FROM hitdocs
+  WHERE n_chars IS NOT NULL AND n_chars >= 0 AND n_chars < 2000
+  GROUP BY 1
 )
 SELECT 'facet' AS kind, d.lang AS key, count(*) AS n, NULL::DOUBLE AS val
 FROM hitdocs d GROUP BY d.lang
@@ -1182,6 +1209,10 @@ UNION ALL
 SELECT 'stats', key, NULL::BIGINT, round(val, 4) FROM stats
 UNION ALL
 SELECT 'mlt', doc_id::VARCHAR, rnk, score_r FROM mlt_ranked WHERE rnk <= 10
+UNION ALL
+SELECT 'range', s.lo::VARCHAR, coalesce(rc.n, 0),
+       least(s.lo + 200, 2000)::DOUBLE
+FROM spine s LEFT JOIN range_counts rc USING (lo)
 ORDER BY kind, key
 """
 
@@ -2419,9 +2450,21 @@ ORDER BY kind, query_id, rnk
         FROM documents ORDER BY doc_id
     """,
     "term_stats": f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
-        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
-        FROM toks GROUP BY term ORDER BY term
+        WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        ts AS (
+          SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+          FROM toks GROUP BY term
+        ),
+        sg AS (
+          SELECT term, df,
+                 row_number() OVER (ORDER BY df DESC, term ASC) AS pos
+          FROM ts WHERE term LIKE 'th%'
+          ORDER BY df DESC, term ASC LIMIT 10
+        )
+        SELECT 'stats' AS kind, term, df, cf, NULL::INT AS pos FROM ts
+        UNION ALL
+        SELECT 'suggest', term, df, NULL::BIGINT, pos FROM sg
+        ORDER BY kind, term
     """,
     "doc_stats": f"""
         SELECT doc_id, coalesce(len({_TOK}), 0)::BIGINT AS dl

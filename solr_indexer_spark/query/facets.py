@@ -1,0 +1,57 @@
+"""Solr range faceting (``facet.range=f&facet.range.start/end/gap``):
+bucketed counts of a numeric field over a result set, EVERY bucket
+emitted — including empty ones — exactly as Solr's response does.
+
+Reference surface: the Solr core behind the reference serves
+facet.range on every handler (the reference's own *_facet fields are
+term facets, SURVEY A7; range facets are the numeric/date sibling).
+
+Scale shape: one broadcast of the hit set, one map-side-combinable
+groupBy on a computed bucket key (floor((v-start)/gap) — a pure
+projection), then a left join from the bucket spine so empty buckets
+survive. The spine is driver-generated and planning-sized by
+construction (ceil((end-start)/gap) rows — Solr requests with
+pathological gap counts are rejected the same way Solr rejects them).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: largest bucket spine a single request may generate (Solr guards
+#: facet.range the same way — a tiny gap over a wide range is a
+#: request error, not a 10⁹-row driver list)
+MAX_BUCKETS = 100_000
+
+
+def facet_range(hits: DataFrame, docs: DataFrame, field: str,
+                start: float, end: float, gap: float,
+                id_col: str = "doc_id") -> DataFrame:
+    """(lo, hi, n) per bucket [lo, lo+gap) over ``field`` across the
+    docs in ``hits``; values outside [start, end) don't count (Solr's
+    default include/other handling); empty buckets emit n=0."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet.range requires gap > 0 and end > start")
+    n_buckets = math.ceil((end - start) / gap)
+    if n_buckets > MAX_BUCKETS:
+        raise ValueError(f"facet.range would create {n_buckets} buckets "
+                         f"(max {MAX_BUCKETS}) — widen gap")
+    spark = docs.sparkSession
+    spine = spark.createDataFrame(
+        [(float(start + i * gap), float(min(start + (i + 1) * gap, end)))
+         for i in range(n_buckets)], "lo double, hi double")
+    v = F.col(field).cast("double")
+    joined = (docs.select(id_col, field)
+              .join(F.broadcast(hits.select(id_col).distinct()), id_col)
+              .filter(v.isNotNull() & (v >= F.lit(float(start)))
+                      & (v < F.lit(float(end)))))
+    lo = (F.floor((v - F.lit(float(start))) / F.lit(float(gap)))
+          * F.lit(float(gap)) + F.lit(float(start)))
+    counts = joined.groupBy(lo.alias("lo")).agg(F.count("*").alias("n"))
+    return (spine.join(counts, "lo", "left")
+            .select("lo", "hi",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+            .orderBy("lo"))

@@ -195,3 +195,40 @@ def test_highlight_edges(spark):
     # first occurrence of ANY term wins; both terms wrapped in-frag
     assert two[2] == "[words] before and"
     assert two[1] == "[dup] starts the"
+
+
+def test_facet_range_buckets(spark, qdf, index, fields):
+    from solr_indexer_spark.query.facets import facet_range
+    hits = _full(qdf, index).select("doc_id")
+    out = facet_range(hits, fields, "nlen", 0, 1000, 250).collect()
+    assert [r["lo"] for r in out] == [0.0, 250.0, 500.0, 750.0]
+    assert out[-1]["hi"] == 1000.0
+    vals = [r["nlen"] for r in fields.join(hits, "doc_id").collect()]
+    for r in out:
+        want = sum(1 for v in vals if r["lo"] <= v < r["hi"])
+        assert r["n"] == want
+    # totals: in-range rows only (Solr default include/other)
+    assert sum(r["n"] for r in out) == sum(1 for v in vals
+                                           if 0 <= v < 1000)
+    # a range with no data still emits every bucket at 0
+    empty = facet_range(hits, fields, "nlen", 100000, 100300, 100)
+    assert [(r["lo"], r["n"]) for r in empty.collect()] == \
+        [(100000.0, 0), (100100.0, 0), (100200.0, 0)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        facet_range(hits, fields, "nlen", 0, 100, 0)
+    with _pt.raises(ValueError):
+        facet_range(hits, fields, "nlen", 0, 10**9, 0.001)
+
+
+def test_suggest_prefix_completion(index):
+    from solr_indexer_spark.query.suggest import suggest
+    out = suggest(index, "term00", count=5).collect()
+    assert 0 < len(out) <= 5
+    assert all(r["term"].startswith("term00") for r in out)
+    assert [r["pos"] for r in out] == list(range(1, len(out) + 1))
+    # sorted by df desc, term asc
+    keys = [(-r["df"], r["term"]) for r in out]
+    assert keys == sorted(keys)
+    # no match -> empty, not error
+    assert suggest(index, "zzzzzz", count=5).count() == 0
