@@ -106,10 +106,29 @@ class QueryServer:
         # — dropDuplicates keeps an ARBITRARY row, which would let a
         # foreachBatch replay overwrite batch_id=N with a different
         # answer than the first attempt
+        has_cursor = "cursor_mark" in queries.columns
+        qcols = ["query_text", "k"] + (["cursor_mark"] if has_cursor
+                                       else [])
         queries = (queries.groupBy("query_id")
-                   .agg(F.min(F.struct("query_text", "k")).alias("_q"))
-                   .select("query_id", "_q.query_text", "_q.k"))
+                   .agg(F.min(F.struct(*qcols)).alias("_q"))
+                   .select("query_id", *[f"_q.{c}" for c in qcols]))
+        after = None
+        if has_cursor:
+            # cursorMark deep paging through the server (query/
+            # cursor.py): marks ride the request rows; '*'/NULL =
+            # first page. The collect is planning-sized (one row per
+            # query, same class as topk_wand's own spec collect); the
+            # client reads its nextCursorMark off the result partition
+            # with page_cursors
+            from ..query.cursor import decode_cursors
+            after = decode_cursors(
+                {r["query_id"]: r["cursor_mark"]
+                 for r in queries.select("query_id", "cursor_mark")
+                 .filter(F.col("cursor_mark").isNotNull()).collect()})
+            queries = queries.drop("cursor_mark")
         kwargs = {}
+        if after:
+            kwargs["after"] = after
         if self.theta_min_postings is not None:
             kwargs["theta_min_postings"] = self.theta_min_postings
         carry_out: dict = {}
@@ -155,10 +174,13 @@ def socket_queries(spark, host: str = "127.0.0.1",
     parts = F.split(F.col("value"), "\t")
     # try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
     # id would THROW inside the micro-batch and kill the stream — the
-    # fail-soft contract needs NULL-and-drop
+    # fail-soft contract needs NULL-and-drop. The optional 4th field is
+    # a cursorMark ('*' or a mark from a previous page's results)
     return (raw.select(
         parts.getItem(0).try_cast("int").alias("query_id"),
         parts.getItem(1).alias("query_text"),
-        parts.getItem(2).try_cast("int").alias("k"))
+        parts.getItem(2).try_cast("int").alias("k"),
+        F.when(F.size(parts) >= 4, parts.getItem(3))
+        .alias("cursor_mark"))
         .filter(F.col("query_id").isNotNull()
                 & F.col("query_text").isNotNull()))

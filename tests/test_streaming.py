@@ -352,3 +352,47 @@ def test_query_server_socket_source(spark, tmp_path):
     got = sorted(tuple(r) for r in res.distinct().collect())
     want = sorted(tuple(r) for r in direct.collect())
     assert got == want
+
+
+def test_query_server_cursor_paging(spark, tmp_path):
+    """cursorMark through the server: batch 0 serves page 1 ('*'
+    marks), the client reads nextCursorMark off the results, batch 1
+    carries the marks and gets the following page — identical to a
+    direct start= offset call."""
+    from pyspark.sql import functions as F
+    from solr_indexer_spark.index.build import build_index
+    from solr_indexer_spark.index.codec import build_block_index
+    from solr_indexer_spark.query.cursor import page_cursors
+    from solr_indexer_spark.query.wand import topk_wand
+    from solr_indexer_spark.streaming.query_server import QueryServer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bindex = build_block_index(build_index(docs, id_col="doc_id"),
+                               shard_range=4096)
+    srv = QueryServer(bindex, str(tmp_path / "qcur"),
+                      theta_min_postings=0)
+    srv.warm()
+
+    schema = "query_id int, query_text string, k int, cursor_mark string"
+    q1 = spark.createDataFrame(
+        [(1, "batch small scan", 5, "*"), (2, "dup", 5, None)], schema)
+    srv.process_batch(q1, 0)
+    page1 = srv.results(spark).filter("batch_id = 0")
+    marks = page_cursors(page1)
+    assert set(marks) == {1, 2}
+
+    q2 = spark.createDataFrame(
+        [(1, "batch small scan", 5, marks[1]),
+         (2, "dup", 5, marks[2])], schema)
+    srv.process_batch(q2, 1)
+    got = sorted(tuple(r) for r in
+                 srv.results(spark).filter("batch_id = 1")
+                 .select("query_id", "doc_id",
+                         F.round("score", 6).alias("s")).collect())
+    direct = topk_wand(
+        spark.createDataFrame([(1, "batch small scan", 5), (2, "dup", 5)],
+                              "query_id int, query_text string, k int"),
+        bindex, theta_min_postings=0, start=5)
+    want = sorted((r["query_id"], r["doc_id"], round(r["score"], 6))
+                  for r in direct.collect())
+    assert got == want and got
