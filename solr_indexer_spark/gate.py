@@ -221,8 +221,11 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort= param (q='dup', sort=n_chars desc — field ordering over the
     posting-matched set, id tiebreak); kind='collapse' = Solr collapse
     qparser (q='dup', {!collapse field=lang} — one best-scoring doc
-    per lang, collapsed set re-ranked by score)."""
-    from .query.scorer import topk_collapse, topk_sorted
+    per lang, collapsed set re-ranked by score); kind='group' = full
+    Solr result grouping (group=true&group.field=lang&group.limit=2,
+    top-3 groups by head-doc score, rnk = the flattened response
+    position)."""
+    from .query.scorer import group_topk, topk_collapse, topk_sorted
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
     q = spark.createDataFrame([(1, "dup", 10)],
@@ -242,7 +245,16 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rnk"),
         F.lit(None).cast("long").alias("n_chars"),
         "lang", F.round("score", 4).alias("score_r"))
-    return srt.unionByName(clp).orderBy("kind", "rnk")
+    qg = spark.createDataFrame([(1, "dup", 3)],
+                               "query_id int, query_text string, k int")
+    grp = (group_topk(qg, index, docs.select("doc_id", "lang"), "lang",
+                      group_limit=2)
+           .select(F.lit("group").alias("kind"), "doc_id",
+                   F.col("rank").cast("long").alias("rnk"),
+                   F.lit(None).cast("long").alias("n_chars"),
+                   "lang", F.round("score", 4).alias("score_r")))
+    return srt.unionByName(clp).unionByName(grp) \
+        .orderBy("kind", "rnk")
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,6 +2179,25 @@ _SQL_ALL = {
                    ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id
                  ) AS rnk
           FROM heads WHERE gr = 1
+        ),
+        kept AS (SELECT * FROM heads WHERE gr <= 2),
+        ghead AS (
+          SELECT lang, round(score, {SCORE_DECIMALS}) AS hs,
+                 doc_id AS hid
+          FROM kept WHERE gr = 1
+        ),
+        granked AS (
+          SELECT lang,
+                 row_number() OVER (ORDER BY hs DESC, hid ASC)
+                   AS group_rank
+          FROM ghead
+        ),
+        flat AS (
+          SELECT k.doc_id, k.lang, round(k.score, 4) AS score_r,
+                 row_number() OVER (ORDER BY g.group_rank, k.gr)
+                   AS rnk
+          FROM kept k JOIN granked g USING (lang)
+          WHERE g.group_rank <= 3
         )
         SELECT 'sort' AS kind, doc_id, rnk, n_chars::BIGINT AS n_chars,
                NULL::VARCHAR AS lang, NULL::DOUBLE AS score_r
@@ -2175,6 +2206,10 @@ _SQL_ALL = {
         SELECT 'collapse' AS kind, doc_id, rnk, NULL::BIGINT AS n_chars,
                lang, score_r
         FROM collapsed WHERE rnk <= 10
+        UNION ALL
+        SELECT 'group' AS kind, doc_id, rnk, NULL::BIGINT AS n_chars,
+               lang, score_r
+        FROM flat
         ORDER BY kind, rnk
     """,
     # page 2 both ways: the offset page (absolute ranks) and the

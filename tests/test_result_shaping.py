@@ -232,3 +232,33 @@ def test_suggest_prefix_completion(index):
     assert keys == sorted(keys)
     # no match -> empty, not error
     assert suggest(index, "zzzzzz", count=5).count() == 0
+
+
+def test_group_topk_structure(qdf, index, fields):
+    from solr_indexer_spark.query.scorer import group_topk
+    q3 = qdf.withColumn("k", F.lit(3))
+    out = group_topk(q3, index, fields, "grp", group_limit=2).collect()
+    assert out
+    # ≤3 groups, ≤2 docs each, flat rank contiguous
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["grp"], []).append(r)
+    assert len(by_group) <= 3
+    assert all(len(v) <= 2 for v in by_group.values())
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == \
+        list(range(1, len(out) + 1))
+    # group order = head score desc; within-group order = score desc
+    heads = sorted(((min(r["group_rank"] for r in v),
+                     max(round(r["score"], 6) for r in v))
+                    for v in by_group.values()))
+    assert [h[1] for h in heads] == \
+        sorted((h[1] for h in heads), reverse=True)
+    for v in by_group.values():
+        scores = [round(r["score"], 6) for r in
+                  sorted(v, key=lambda r: r["doc_rank"])]
+        assert scores == sorted(scores, reverse=True)
+    # group_limit=1 ranks exactly like collapse
+    one = group_topk(qdf, index, fields, "grp", group_limit=1)
+    col = topk_collapse(qdf, index, fields, "grp")
+    assert [r["doc_id"] for r in one.orderBy("rank").collect()] == \
+        [r["doc_id"] for r in col.orderBy("rank").collect()]
