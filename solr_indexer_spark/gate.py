@@ -1065,8 +1065,10 @@ def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-5 tf·idf interesting terms → BM25 over them, seed excluded,
     query/mlt.py); kind='range' = Solr facet.range on n_chars
     (start=0, end=2000, gap=200 — every bucket emitted, empties at 0,
-    query/facets.py). Schema: (kind, key, n, val)."""
-    from .query.facets import facet_range
+    query/facets.py); kind='nested' = the JSON Facet API terms facet
+    (top-3 lang buckets by count with a nested avg(n_chars) stat
+    sub-facet). Schema: (kind, key, n, val)."""
+    from .query.facets import facet_range, facet_terms
     from .query.mlt import more_like_this
     from .query.stats import field_stats
     docs = _docs(spark, sf_dir)
@@ -1096,8 +1098,16 @@ def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("lo").cast("long").cast("string").alias("key"),
                    F.col("n").cast("long").alias("n"),
                    F.col("hi").alias("val")))
+    nested = (facet_terms(hits, docs, "lang",
+                          stats={"avg_len": ("avg", "n_chars")},
+                          limit=3)
+              .select(F.lit("nested").alias("kind"),
+                      F.col("lang").alias("key"),
+                      F.col("count").alias("n"),
+                      F.round("avg_len", 4).alias("val")))
     return (facets.unionByName(stats).unionByName(mlt)
-            .unionByName(rng).orderBy("kind", "key"))
+            .unionByName(rng).unionByName(nested)
+            .orderBy("kind", "key"))
 
 
 def _lucene_sql() -> str:
@@ -1225,6 +1235,12 @@ UNION ALL
 SELECT 'range', s.lo::VARCHAR, coalesce(rc.n, 0),
        least(s.lo + 200, 2000)::DOUBLE
 FROM spine s LEFT JOIN range_counts rc USING (lo)
+UNION ALL
+SELECT 'nested', lang, n, avg_len FROM (
+  SELECT lang, count(*) AS n, round(avg(n_chars::DOUBLE), 4) AS avg_len,
+         row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS pos
+  FROM hitdocs WHERE lang IS NOT NULL GROUP BY lang
+) WHERE pos <= 3
 ORDER BY kind, key
 """
 

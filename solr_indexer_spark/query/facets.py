@@ -1,6 +1,8 @@
-"""Solr range faceting (``facet.range=f&facet.range.start/end/gap``):
-bucketed counts of a numeric field over a result set, EVERY bucket
-emitted — including empty ones — exactly as Solr's response does.
+"""Solr faceting beyond plain field counts: range facets
+(``facet.range=f&facet.range.start/end/gap`` — bucketed counts of a
+numeric field over a result set, EVERY bucket emitted including empty
+ones, exactly as Solr's response does) and the JSON Facet API's terms
+facet with nested stat sub-facets (``json.facet``).
 
 Reference surface: the Solr core behind the reference serves
 facet.range on every handler (the reference's own *_facet fields are
@@ -25,6 +27,48 @@ from pyspark.sql import functions as F
 #: facet.range the same way — a tiny gap over a wide range is a
 #: request error, not a 10⁹-row driver list)
 MAX_BUCKETS = 100_000
+
+
+#: nested aggregate constructors the JSON-facet surface accepts —
+#: Solr's stat facet functions (json.facet: sum/avg/min/max/unique)
+_SUBAGGS = {
+    "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+    "unique": F.count_distinct,
+}
+
+
+def facet_terms(hits: DataFrame, docs: DataFrame, field: str,
+                stats: dict | None = None, limit: int = 10,
+                id_col: str = "doc_id") -> DataFrame:
+    """Solr JSON Facet API terms facet (``json.facet={f:{type:terms,
+    field:f, facet:{...}}}``): buckets of ``field`` over the result
+    set, ordered by count desc (Solr's default sort; field-value asc
+    tiebreak), each bucket carrying nested stat sub-facets.
+
+    ``stats``: {output_name: (fn, column)} with fn one of
+    sum/avg/min/max/unique — e.g. {"avg_len": ("avg", "n_chars")}.
+
+    Scale shape: ONE map-side-combinable groupBy computes the bucket
+    count and every nested stat together (Solr computes them in one
+    pass over the matched docs too); the top-``limit`` bucket cut is
+    a TakeOrderedAndProject. NULL field values are skipped (Solr
+    terms facets bucket only present values unless missing:true)."""
+    stats = stats or {}
+    bad = [fn for fn, _ in stats.values() if fn not in _SUBAGGS]
+    if bad:
+        raise ValueError(f"unknown facet stat fn(s): {bad}; "
+                         f"supported: {sorted(_SUBAGGS)}")
+    cols = [id_col, field] + sorted({c for _, c in stats.values()
+                                     if c != field})
+    joined = (docs.select(*cols)
+              .join(F.broadcast(hits.select(id_col).distinct()), id_col)
+              .filter(F.col(field).isNotNull()))
+    aggs = [F.count("*").alias("count")]
+    for name, (fn, col) in sorted(stats.items()):
+        aggs.append(_SUBAGGS[fn](F.col(col)).alias(name))
+    return (joined.groupBy(field).agg(*aggs)
+            .orderBy(F.col("count").desc(), F.col(field).asc())
+            .limit(limit))
 
 
 def facet_range(hits: DataFrame, docs: DataFrame, field: str,

@@ -262,3 +262,28 @@ def test_group_topk_structure(qdf, index, fields):
     col = topk_collapse(qdf, index, fields, "grp")
     assert [r["doc_id"] for r in one.orderBy("rank").collect()] == \
         [r["doc_id"] for r in col.orderBy("rank").collect()]
+
+
+def test_facet_terms_nested_stats(spark, qdf, index, fields):
+    from solr_indexer_spark.query.facets import facet_terms
+    hits = _full(qdf, index).select("doc_id")
+    out = facet_terms(hits, fields, "grp",
+                      stats={"avg_len": ("avg", "nlen"),
+                             "max_len": ("max", "nlen"),
+                             "uniq": ("unique", "doc_id")},
+                      limit=3).collect()
+    assert 0 < len(out) <= 3
+    # order: count desc, value asc
+    keys = [(-r["count"], r["grp"]) for r in out]
+    assert keys == sorted(keys)
+    rows = fields.join(hits, "doc_id") \
+        .filter(F.col("grp").isNotNull()).collect()
+    for r in out:
+        grp_rows = [x for x in rows if x["grp"] == r["grp"]]
+        assert r["count"] == len(grp_rows)
+        assert r["uniq"] == len({x["doc_id"] for x in grp_rows})
+        assert r["max_len"] == max(x["nlen"] for x in grp_rows)
+        assert abs(r["avg_len"] -
+                   sum(x["nlen"] for x in grp_rows) / len(grp_rows)) < 1e-9
+    with pytest.raises(ValueError):
+        facet_terms(hits, fields, "grp", stats={"x": ("median", "nlen")})
