@@ -204,16 +204,28 @@ def q_wand_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Solr fq param: q scores, fq only filters — 'dup' ranked by BM25
-    over docs passing 'lang:en AND n_chars:[150 TO *]'; fq terms add
-    NO score weight."""
+    """Query-modifier params, two kinds: kind='fq' = Solr fq (q='dup'
+    scores, 'lang:en AND n_chars:[150 TO *]' only filters — fq terms
+    add NO score weight); kind='bf' = the additive function-query
+    boost (bf=log10(n_chars): score' = BM25 + log10(n_chars),
+    scorer.topk_boosted)."""
     from .query.qtree import search_tree
+    from .query.scorer import topk_boosted
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
     hits = search_tree("dup", docs, index, k=10,
                        fq="lang:en AND n_chars:[150 TO *]")
-    return hits.select("doc_id", F.col("rank").cast("long").alias("rnk"),
-                       F.round("score", 4).alias("score_r"))
+    fq = hits.select(F.lit("fq").alias("kind"), "doc_id",
+                     F.col("rank").cast("long").alias("rnk"),
+                     F.round("score", 4).alias("score_r"))
+    q = spark.createDataFrame([(1, "dup", 10)],
+                              "query_id int, query_text string, k int")
+    bf = (topk_boosted(q, index, docs.select("doc_id", "n_chars"),
+                       F.log10(F.col("n_chars").cast("double")))
+          .select(F.lit("bf").alias("kind"), "doc_id",
+                  F.col("rank").cast("long").alias("rnk"),
+                  F.round("score", 4).alias("score_r")))
+    return fq.unionByName(bf).orderBy("kind", "rnk")
 
 
 def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2148,11 +2160,43 @@ _SQL_ALL = {
     **ORACLE_SQL_V2,
     "bm25_topk": _bm25_sql(),
     "wand_topk": _bm25_sql(),
-    "filter_query": _scored_gate_sql(
-        ["dup"],
-        "list_contains(toks, 'dup') AND doc_id IN "
-        "(SELECT doc_id FROM documents "
-        " WHERE lang = 'en' AND n_chars >= 150)"),
+    "filter_query": f"""
+WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),
+corpus AS (SELECT count(*) AS n_docs,
+                  sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tfd AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tfd GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl
+                                        / corpus.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  WHERE tf.term = 'dup' GROUP BY tf.doc_id
+),
+fq AS (
+  SELECT s.doc_id, round(s.score, 4) AS score_r,
+         row_number() OVER (ORDER BY round(s.score, {SCORE_DECIMALS})
+                            DESC, s.doc_id) AS rnk
+  FROM scored s
+  WHERE s.doc_id IN (SELECT doc_id FROM documents
+                     WHERE lang = 'en' AND n_chars >= 150)
+),
+bf AS (
+  SELECT s.doc_id,
+         round(s.score + log10(d.n_chars::DOUBLE), 4) AS score_r,
+         row_number() OVER (
+           ORDER BY round(s.score + log10(d.n_chars::DOUBLE),
+                          {SCORE_DECIMALS}) DESC, s.doc_id) AS rnk
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT 'fq' AS kind, doc_id, rnk, score_r FROM fq WHERE rnk <= 10
+UNION ALL
+SELECT 'bf', doc_id, rnk, score_r FROM bf WHERE rnk <= 10
+ORDER BY kind, rnk
+""",
     "sort_by_field": f"""
         WITH t AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
         dl AS (SELECT doc_id, coalesce(len(toks), 0) AS dl FROM t),

@@ -287,3 +287,34 @@ def test_facet_terms_nested_stats(spark, qdf, index, fields):
                    sum(x["nlen"] for x in grp_rows) / len(grp_rows)) < 1e-9
     with pytest.raises(ValueError):
         facet_terms(hits, fields, "grp", stats={"x": ("median", "nlen")})
+
+
+def test_topk_boosted_modes(spark, qdf, index, fields):
+    from solr_indexer_spark.query.scorer import topk_boosted
+    q = qdf.withColumn("k", F.lit(10))
+    base = {r["doc_id"]: r["score"] for r in _full(qdf, index).collect()}
+    lens = {r["doc_id"]: r["nlen"] for r in fields.collect()}
+    add = topk_boosted(q, index, fields, F.log10(F.col("nlen")),
+                       mode="sum").collect()
+    for r in add:
+        want = base[r["doc_id"]] + math.log10(lens[r["doc_id"]])
+        assert abs(r["score"] - want) < 1e-9
+    want_order = sorted(base,
+                        key=lambda d: (-round(base[d]
+                                              + math.log10(lens[d]), 6), d))
+    assert [r["doc_id"] for r in add] == want_order[:10]
+    mul = topk_boosted(q, index, fields, F.col("nlen") / 1000.0,
+                       mode="mult").collect()
+    for r in mul:
+        want = base[r["doc_id"]] * (lens[r["doc_id"]] / 1000.0)
+        assert abs(r["score"] - want) < 1e-9
+    # NULL boost -> identity, not NULL score
+    f2 = fields.withColumn("nlen", F.when(F.col("doc_id") % 2 == 0,
+                                          F.col("nlen")))
+    add2 = topk_boosted(q.withColumn("k", F.lit(10_000)), index, f2,
+                        F.log10(F.col("nlen")), mode="sum").collect()
+    odd = [r for r in add2 if r["doc_id"] % 2 == 1]
+    assert odd and all(abs(r["score"] - base[r["doc_id"]]) < 1e-9
+                       for r in odd)
+    with pytest.raises(ValueError):
+        topk_boosted(q, index, fields, F.col("nlen"), mode="pow")
