@@ -206,12 +206,67 @@ class DocTable:
         delta = matched
         for colname, value in assignments.items():
             delta = delta.withColumn(colname, F.lit(value))
+        return self._commit_delta(ptr, version, delta,
+                                  sorted(assignments.keys()))
+
+    def update_atomic(self, match_ids: DataFrame, ops: dict) -> int:
+        """Solr's full atomic-update op set (the reference only emits
+        {'set': ...} — tools.py:93-103 — but the Solr contract it
+        posts to also takes inc/add/add-distinct/remove): per column,
+        one of
+          ("set", v)          literal assignment (= update_set)
+          ("inc", n)          numeric increment of the CURRENT value
+                              (missing/NULL counts as 0 — Solr inc)
+          ("add", v)          append v to the multivalued field
+                              (missing/NULL -> [v]; duplicates kept)
+          ("add_distinct", v) append only if absent
+          ("remove", v)       drop ALL occurrences of v (missing
+                              field stays missing — Solr no-op)
+        The delta materializes each matched id's RESULTING value, so
+        merge-on-read folding stays a pure per-column coalesce and
+        reads never re-run op arithmetic. inc/add/remove require the
+        column to exist (set may create one, as before)."""
+        ptr = self._read_ptr()
+        version = ptr["version"] + 1
+        cur = self.current()
+        m = match_ids.toDF(self.id_col)
+        matched = cur.join(F.broadcast(m), self.id_col, "left_semi")
+        exprs = []
+        for colname, (op, value) in sorted(ops.items()):
+            c = F.col(colname)
+            if op != "set" and colname not in matched.columns:
+                raise KeyError(f"{op!r} needs existing column "
+                               f"{colname!r}")
+            if op == "set":
+                e = F.lit(value)
+            elif op == "inc":
+                e = F.coalesce(c, F.lit(0)) + F.lit(value)
+            elif op == "add":
+                e = F.when(c.isNull(), F.array(F.lit(value))) \
+                    .otherwise(F.concat(c, F.array(F.lit(value))))
+            elif op == "add_distinct":
+                e = F.when(c.isNull(), F.array(F.lit(value))) \
+                    .otherwise(F.when(F.array_contains(c, F.lit(value)),
+                                      c)
+                               .otherwise(F.concat(
+                                   c, F.array(F.lit(value)))))
+            elif op == "remove":
+                e = F.when(c.isNull(), c) \
+                    .otherwise(F.array_remove(c, value))
+            else:
+                raise ValueError(f"unknown atomic op: {op!r}")
+            exprs.append(e.alias(colname))
+        delta = matched.select(self.id_col, *exprs)
+        return self._commit_delta(ptr, version, delta,
+                                  sorted(ops.keys()))
+
+    def _commit_delta(self, ptr: dict, version: int, delta: DataFrame,
+                      cols: list) -> int:
         path = os.path.join(self.base_dir, f"delta_v{version}")
         delta.write.mode("overwrite").parquet(path)
         n = self.spark.read.parquet(path).count()
         ptr["version"] = version
-        ptr["deltas"].append({"path": path,
-                              "cols": sorted(assignments.keys())})
+        ptr["deltas"].append({"path": path, "cols": cols})
         self._write_ptr(ptr)
         if (self.auto_compact_deltas is not None
                 and len(ptr["deltas"]) >= self.auto_compact_deltas):

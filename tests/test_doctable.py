@@ -170,3 +170,51 @@ def test_tombstone_fraction_auto_compaction(spark, tmp_path):
     # counter reset: another small delete does not immediately compact
     t.delete_ids([30])
     assert t.status()["n_tombstones"] == 1
+
+
+def test_update_atomic_ops(spark, tmp_path):
+    """Solr atomic-update op family: inc accumulates across deltas,
+    add appends (dups kept), add_distinct doesn't, remove drops all
+    occurrences and no-ops on missing fields; set creates columns."""
+    t = DocTable(spark, str(tmp_path / "atomic"), id_col="id")
+    t.write(spark.createDataFrame(
+        [(1, 10, ["a", "b"]), (2, None, None), (3, 5, ["b", "b"])],
+        "id int, views int, tags array<string>"))
+    ids = lambda *v: spark.createDataFrame([(i,) for i in v], "id int")
+
+    assert t.update_atomic(ids(1, 2), {"views": ("inc", 3)}) == 2
+    assert t.update_atomic(ids(1), {"views": ("inc", 4)}) == 1
+    cur = {r["id"]: r for r in t.current().collect()}
+    assert cur[1]["views"] == 17          # 10 + 3 + 4
+    assert cur[2]["views"] == 3           # NULL counts as 0
+    assert cur[3]["views"] == 5           # unmatched untouched
+
+    t.update_atomic(ids(1, 2, 3), {"tags": ("add", "b")})
+    cur = {r["id"]: r for r in t.current().collect()}
+    assert cur[1]["tags"] == ["a", "b", "b"]
+    assert cur[2]["tags"] == ["b"]        # NULL -> [v]
+    assert cur[3]["tags"] == ["b", "b", "b"]
+
+    t.update_atomic(ids(1, 2), {"tags": ("add_distinct", "a")})
+    cur = {r["id"]: r for r in t.current().collect()}
+    assert cur[1]["tags"] == ["a", "b", "b"]   # already present
+    assert cur[2]["tags"] == ["b", "a"]
+
+    t.update_atomic(ids(1, 3), {"tags": ("remove", "b")})
+    cur = {r["id"]: r for r in t.current().collect()}
+    assert cur[1]["tags"] == ["a"]
+    assert cur[3]["tags"] == []
+
+    # set creates a new column; other ops on a missing column raise
+    t.update_atomic(ids(2), {"flag": ("set", True)})
+    cur = {r["id"]: r for r in t.current().collect()}
+    assert cur[2]["flag"] is True and cur[1]["flag"] is None
+    with pytest.raises(KeyError):
+        t.update_atomic(ids(1), {"nope": ("inc", 1)})
+    with pytest.raises(ValueError):
+        t.update_atomic(ids(1), {"views": ("pow", 2)})
+
+    # compaction folds every atomic delta into the base identically
+    before = sorted(map(tuple, t.current().collect()))
+    t.compact()
+    assert sorted(map(tuple, t.current().collect())) == before
