@@ -1079,8 +1079,11 @@ def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start=0, end=2000, gap=200 — every bucket emitted, empties at 0,
     query/facets.py); kind='nested' = the JSON Facet API terms facet
     (top-3 lang buckets by count with a nested avg(n_chars) stat
-    sub-facet). Schema: (kind, key, n, val)."""
-    from .query.facets import facet_range, facet_terms
+    sub-facet); kind='pivot' = Solr pivot faceting
+    (facet.pivot=lang,source — the full two-level count tree from ONE
+    rollup pass, key='lang' or 'lang/source', val=level). Schema:
+    (kind, key, n, val)."""
+    from .query.facets import facet_pivot, facet_range, facet_terms
     from .query.mlt import more_like_this
     from .query.stats import field_stats
     docs = _docs(spark, sf_dir)
@@ -1117,9 +1120,16 @@ def q_facet_on_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("lang").alias("key"),
                       F.col("count").alias("n"),
                       F.round("avg_len", 4).alias("val")))
+    pivot = (facet_pivot(hits, docs, ["lang", "source"])
+             .select(F.lit("pivot").alias("kind"),
+                     F.when(F.col("level") == 1, F.col("lang"))
+                     .otherwise(F.concat_ws("/", "lang", "source"))
+                     .alias("key"),
+                     F.col("n").cast("long").alias("n"),
+                     F.col("level").cast("double").alias("val")))
     return (facets.unionByName(stats).unionByName(mlt)
             .unionByName(rng).unionByName(nested)
-            .orderBy("kind", "key"))
+            .unionByName(pivot).orderBy("kind", "key"))
 
 
 def _lucene_sql() -> str:
@@ -1253,6 +1263,17 @@ SELECT 'nested', lang, n, avg_len FROM (
          row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS pos
   FROM hitdocs WHERE lang IS NOT NULL GROUP BY lang
 ) WHERE pos <= 3
+UNION ALL
+SELECT 'pivot',
+       CASE WHEN lvl = 1 THEN lang ELSE lang || '/' || source END,
+       n, lvl::DOUBLE
+FROM (
+  SELECT lang, source, count(*) AS n,
+         (1 - grouping(lang)) + (1 - grouping(source)) AS lvl
+  FROM hitdocs GROUP BY ROLLUP(lang, source)
+)
+WHERE lvl >= 1 AND lang IS NOT NULL
+  AND (lvl < 2 OR source IS NOT NULL)
 ORDER BY kind, key
 """
 

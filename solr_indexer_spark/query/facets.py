@@ -71,6 +71,44 @@ def facet_terms(hits: DataFrame, docs: DataFrame, field: str,
             .limit(limit))
 
 
+def facet_pivot(hits: DataFrame, docs: DataFrame, fields: list,
+                id_col: str = "doc_id") -> DataFrame:
+    """Solr pivot faceting (``facet.pivot=f1,f2,...``): the full
+    hierarchical count tree — counts at every prefix level of the
+    field list — over a result set.
+
+    Returns one row per tree node: the pivot columns (deeper levels
+    NULL above their level), ``level`` (1-based depth), and ``n``.
+    The root grand-total row is omitted (Solr's response starts at
+    the first field).
+
+    Scale shape: Spark's ``rollup`` computes EVERY level in one
+    map-side-combinable pass (partial aggregates per level share the
+    scan) — no per-level groupBy jobs; rows with a NULL field value
+    at their own level are dropped (terms facets bucket only present
+    values), distinguished from rollup-generated NULLs by
+    ``grouping()``."""
+    if not fields:
+        raise ValueError("facet.pivot needs at least one field")
+    joined = (docs.select(id_col, *fields)
+              .join(F.broadcast(hits.select(id_col).distinct()), id_col))
+    gcols = [F.grouping(f).alias(f"_g_{f}") for f in fields]
+    out = joined.rollup(*fields).agg(F.count("*").alias("n"), *gcols)
+    # level = number of fields actually grouped (grouping()=0);
+    # rollup only produces prefixes, so level identifies the node depth
+    level = sum((F.lit(1) - F.col(f"_g_{f}") for f in fields[1:]),
+                F.lit(1) - F.col(f"_g_{fields[0]}"))
+    out = out.withColumn("level", level.cast("int")) \
+        .filter(F.col("level") >= 1)
+    # a NULL at the node's own level is a missing VALUE (drop it, the
+    # terms-facet rule), not a rollup subtotal
+    for i, f in enumerate(fields):
+        out = out.filter((F.col("level") < i + 1)
+                         | F.col(f).isNotNull())
+    return (out.select(*fields, "level", "n")
+            .orderBy("level", *fields))
+
+
 def facet_range(hits: DataFrame, docs: DataFrame, field: str,
                 start: float, end: float, gap: float,
                 id_col: str = "doc_id") -> DataFrame:

@@ -318,3 +318,28 @@ def test_topk_boosted_modes(spark, qdf, index, fields):
                        for r in odd)
     with pytest.raises(ValueError):
         topk_boosted(q, index, fields, F.col("nlen"), mode="pow")
+
+
+def test_facet_pivot_tree(spark, qdf, index, fields):
+    from solr_indexer_spark.query.facets import facet_pivot
+    hits = _full(qdf, index).select("doc_id")
+    f2 = fields.withColumn("sub", (F.col("nlen") % 3).cast("string"))
+    out = facet_pivot(hits, f2, ["grp", "sub"]).collect()
+    rows = f2.join(hits, "doc_id").collect()
+    l1 = [r for r in out if r["level"] == 1]
+    l2 = [r for r in out if r["level"] == 2]
+    assert l1 and l2
+    # level-1 counts = per-grp totals (null grp dropped)
+    want1 = {}
+    for x in rows:
+        if x["grp"] is not None:
+            want1[x["grp"]] = want1.get(x["grp"], 0) + 1
+    assert {r["grp"]: r["n"] for r in l1} == want1
+    # level-2 sums back to level-1 (sub never null here)
+    sums = {}
+    for r in l2:
+        assert r["grp"] is not None and r["sub"] is not None
+        sums[r["grp"]] = sums.get(r["grp"], 0) + r["n"]
+    assert sums == want1
+    with pytest.raises(ValueError):
+        facet_pivot(hits, f2, [])
