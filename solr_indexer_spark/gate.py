@@ -270,11 +270,13 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term dictionary, two kinds: kind='stats' = the full (term, df,
-    cf) table; kind='suggest' = the Solr terms-component prefix
-    completion (terms.prefix='th', terms.sort=count — query/suggest.py)
-    with its rank in pos."""
-    from .query.suggest import suggest
+    """Term dictionary, three kinds: kind='stats' = the full (term,
+    df, cf) table; kind='suggest' = the Solr terms-component prefix
+    completion (terms.prefix='th', terms.sort=count —
+    query/suggest.py) with its rank in pos; kind='spellcheck' =
+    did-you-mean corrections for the misspelling 'tha' (distance asc,
+    df desc — DirectSolrSpellChecker order)."""
+    from .query.suggest import spellcheck, suggest
     index = build_index(_docs(spark, sf_dir), id_col="doc_id")
     base = index.term_stats.select(
         F.lit("stats").alias("kind"), "term", "df", "cf",
@@ -282,7 +284,11 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = suggest(index, "th", count=10).select(
         F.lit("suggest").alias("kind"), "term", "df",
         F.lit(None).cast("long").alias("cf"), "pos")
-    return base.unionByName(sg).orderBy("kind", "term")
+    sc = spellcheck(index, "tha", max_edits=1, count=5).select(
+        F.lit("spellcheck").alias("kind"), "term", "df",
+        F.lit(None).cast("long").alias("cf"), "pos")
+    return base.unionByName(sg).unionByName(sc) \
+        .orderBy("kind", "term")
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2576,10 +2582,23 @@ ORDER BY kind, query_id, rnk
                  row_number() OVER (ORDER BY df DESC, term ASC) AS pos
           FROM ts WHERE term LIKE 'th%'
           ORDER BY df DESC, term ASC LIMIT 10
+        ),
+        sc AS (
+          SELECT term, df,
+                 row_number() OVER (ORDER BY dist ASC, df DESC,
+                                    term ASC) AS pos
+          FROM (
+            SELECT term, df, levenshtein(term, 'tha') AS dist
+            FROM ts
+            WHERE abs(length(term) - 3) <= 1 AND term != 'tha'
+          ) WHERE dist <= 1
+          ORDER BY dist ASC, df DESC, term ASC LIMIT 5
         )
         SELECT 'stats' AS kind, term, df, cf, NULL::INT AS pos FROM ts
         UNION ALL
         SELECT 'suggest', term, df, NULL::BIGINT, pos FROM sg
+        UNION ALL
+        SELECT 'spellcheck', term, df, NULL::BIGINT, pos FROM sc
         ORDER BY kind, term
     """,
     "doc_stats": f"""

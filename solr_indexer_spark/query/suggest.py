@@ -1,6 +1,7 @@
 """Solr terms component / suggester (``terms.prefix=`` /
 ``suggest.q=``): prefix completion from the term dictionary, most
-frequent terms first.
+frequent terms first — plus the spellcheck component
+(``spellcheck.q=``): did-you-mean corrections by edit distance.
 
 Reference surface: the Solr core behind the reference exposes
 /terms and the suggesters built over the same field dictionaries.
@@ -17,6 +18,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def spellcheck(index, term: str, max_edits: int = 2,
+               count: int = 5) -> DataFrame:
+    """Solr spellcheck component (``spellcheck.q=``): dictionary
+    corrections for a (possibly misspelled) term — candidates within
+    ``max_edits`` Levenshtein of the input, closest first, document
+    frequency breaking distance ties (DirectSolrSpellChecker's
+    score-then-freq order), term asc as the final tiebreak. The input
+    term itself is excluded (a correctly-spelled term needs no
+    correction row).
+
+    Scale shape: same as the fuzzy-query expansion (qtree FuzzyN) —
+    a length-window prefilter (|len(t)−len(q)| ≤ max_edits) prunes
+    the dictionary scan before the Levenshtein evaluates, and the
+    top-count cut is a TakeOrderedAndProject."""
+    from pyspark.sql import Window
+    t = term.lower()
+    cand = (index.term_stats
+            .filter(F.abs(F.length("term") - F.lit(len(t)))
+                    <= F.lit(max_edits))
+            .filter(F.col("term") != t)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= max_edits)
+            .select("term", "df", "dist"))
+    order = [F.col("dist").asc(), F.col("df").desc(),
+             F.col("term").asc()]
+    ranked = cand.orderBy(*order).limit(count)
+    # numbers only the <= count survivors of the limit above
+    w = Window.orderBy(*order)
+    return ranked.withColumn("pos", F.row_number().over(w))
 
 
 def suggest(index, prefix: str, count: int = 10) -> DataFrame:

@@ -343,3 +343,19 @@ def test_facet_pivot_tree(spark, qdf, index, fields):
     assert sums == want1
     with pytest.raises(ValueError):
         facet_pivot(hits, f2, [])
+
+
+def test_spellcheck_corrections(index):
+    from solr_indexer_spark.query.suggest import spellcheck
+    # 'term0000' exists; 'term000x' is one edit away from several
+    out = spellcheck(index, "term000x", max_edits=1, count=5).collect()
+    assert out and all(r["dist"] == 1 for r in out)
+    assert all(r["term"] != "term000x" for r in out)
+    keys = [(r["dist"], -r["df"], r["term"]) for r in out]
+    assert keys == sorted(keys)
+    # exact dictionary term is never its own correction
+    out2 = spellcheck(index, "term0000", max_edits=1, count=5).collect()
+    assert all(r["term"] != "term0000" for r in out2)
+    # case-insensitive input (analysis contract)
+    up = spellcheck(index, "TERM000X", max_edits=1, count=5).collect()
+    assert [r["term"] for r in up] == [r["term"] for r in out]
