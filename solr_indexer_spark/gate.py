@@ -236,7 +236,10 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     per lang, collapsed set re-ranked by score); kind='group' = full
     Solr result grouping (group=true&group.field=lang&group.limit=2,
     top-3 groups by head-doc score, rnk = the flattened response
-    position)."""
+    position); kind='sort_cursor' = cursorMark over the FIELD sort
+    (Solr's cursor works with any sort ending in the unique key):
+    page 2 of the n_chars ordering via the page-1 cursor tuple,
+    page-relative ranks."""
     from .query.scorer import group_topk, topk_collapse, topk_sorted
     docs = _docs(spark, sf_dir)
     index = build_index(docs, id_col="doc_id")
@@ -265,7 +268,21 @@ def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("rank").cast("long").alias("rnk"),
                    F.lit(None).cast("long").alias("n_chars"),
                    "lang", F.round("score", 4).alias("score_r")))
-    return srt.unionByName(clp).unionByName(grp) \
+    q5 = q.withColumn("k", F.lit(5))
+    p1 = topk_sorted(q5, index, docs.select("doc_id", "n_chars"),
+                     sort=[("n_chars", "desc")])
+    last = (p1.orderBy(F.col("rank").desc()).limit(1)
+            .select("n_chars", "doc_id").collect()[0])
+    cur = topk_sorted(q5, index, docs.select("doc_id", "n_chars"),
+                      sort=[("n_chars", "desc")],
+                      after=(last["n_chars"], last["doc_id"]))
+    scur = cur.select(
+        F.lit("sort_cursor").alias("kind"), "doc_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("double").alias("score_r"))
+    return srt.unionByName(clp).unionByName(grp).unionByName(scur) \
         .orderBy("kind", "rnk")
 
 
@@ -2297,6 +2314,10 @@ ORDER BY kind, rnk
         SELECT 'group' AS kind, doc_id, rnk, NULL::BIGINT AS n_chars,
                lang, score_r
         FROM flat
+        UNION ALL
+        SELECT 'sort_cursor', doc_id, rnk - 5,
+               n_chars::BIGINT, NULL::VARCHAR, NULL::DOUBLE
+        FROM r WHERE rnk > 5 AND rnk <= 10
         ORDER BY kind, rnk
     """,
     # page 2 both ways: the offset page (absolute ranks) and the

@@ -112,6 +112,33 @@ def after_predicate(after: tuple, id_col: str):
         ((sr == F.lit(float(s))) & (F.col(id_col) > F.lit(i)))
 
 
+def sort_after_predicate(after: tuple, sort: list, id_col: str):
+    """Strictly-after predicate for an ARBITRARY Solr sort spec —
+    cursorMark's general contract (any sort works as long as the
+    unique key tiebreaks, which our rank orders always do).
+
+    ``sort``: [(field, 'asc'|'desc'), ...] — the same spec the ranking
+    used, with 'score' meaning the rounded relevance pseudo-field.
+    ``after``: the cursor tuple (one value per sort field, then the
+    id). Lexicographic: row is after the cursor iff some prefix of
+    sort fields is equal and the next one sorts strictly later, or
+    every sort field is equal and id > after-id. NULL sort values are
+    not cursorable (Solr requires a sortMissingLast/First policy);
+    rows with NULL in a sort field never satisfy the predicate."""
+    *vals, aid = after
+    if len(vals) != len(sort):
+        raise ValueError("cursor tuple arity != sort spec arity")
+    cond = F.col(id_col) > F.lit(aid)
+    # build right-to-left: innermost is the id tiebreak
+    for (fld, direction), v in zip(reversed(sort), reversed(vals)):
+        c = (F.round(F.col("score"), SCORE_DECIMALS) if fld == "score"
+             else F.col(fld))
+        beyond = c < F.lit(v) if direction.lower() == "desc" \
+            else c > F.lit(v)
+        cond = beyond | ((c == F.lit(v)) & cond)
+    return cond
+
+
 def apply_after(scored: DataFrame, after: dict, id_col: str) -> DataFrame:
     """Keep rows strictly AFTER each query's cursor in the rank order
     (round(score, SCORE_DECIMALS) DESC, id ASC); queries absent from

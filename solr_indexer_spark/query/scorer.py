@@ -115,19 +115,30 @@ def topk(queries: DataFrame, index: InvertedIndex,
 def topk_sorted(queries: DataFrame, index: InvertedIndex,
                 docs: DataFrame, sort: list[tuple[str, str]],
                 default_k: int = 10,
-                tombstones: DataFrame | None = None) -> DataFrame:
+                tombstones: DataFrame | None = None,
+                after: tuple | None = None) -> DataFrame:
     """Solr ``sort=`` param: rank the matched set by stored FIELDS
     instead of relevance — e.g. ``sort=[("n_chars", "desc")]``; the
     pseudo-field ``"score"`` may appear anywhere in the spec (Solr's
     ``score desc`` form), and doc id always breaks ties. The matched
     set is still posting-driven (docs holding ≥1 query term); only the
     ordering changes — the field columns join in AFTER matching, so the
-    postings table never carries stored fields."""
+    postings table never carries stored fields.
+
+    ``after``: cursorMark over THIS sort spec (Solr's cursor works
+    with any sort that ends in the unique key): a tuple of one value
+    per sort field, then the id — build it from the previous page's
+    last row. Page-relative ranks; heap depth k at any page depth
+    (query/cursor.py)."""
     scored = score_exact(queries, index)
     if tombstones is not None:
         # AQE-adaptive anti-join (VERDICT r5 #1) — see topk
         scored = scored.join(tombstones, index.id_col, "left_anti")
     joined = scored.join(docs, index.id_col)
+    if after is not None:
+        from .cursor import sort_after_predicate
+        joined = joined.filter(
+            sort_after_predicate(after, sort, index.id_col))
     order = []
     for fld, direction in sort:
         c = (F.round(F.col("score"), SCORE_DECIMALS) if fld == "score"

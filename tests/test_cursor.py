@@ -174,3 +174,43 @@ def test_query_string_cursor_paging(docs, index, bindex, q, use_bindex):
         list(range(1, len(got) + 1))
     with pytest.raises(ValueError):
         run(q, docs, index, k=5, start=5, after=after, **kw)
+
+
+def test_sorted_cursor_walk(spark, docs, index):
+    """cursorMark over a FIELD sort (n_chars-equivalent length desc):
+    the k=6 page walk reassembles the full field ordering exactly."""
+    from solr_indexer_spark.query.scorer import topk_sorted
+    fields = docs.select("doc_id", F.length("text").alias("nlen"))
+    q = spark.createDataFrame([(1, "term0000", 6)],
+                              "query_id int, query_text string, k int")
+    full = topk_sorted(q.withColumn("k", F.lit(10_000)), index, fields,
+                       sort=[("nlen", "desc")])
+    want = [(r["doc_id"], r["nlen"]) for r in
+            full.orderBy("rank").collect()]
+    got, after, pages = [], None, 0
+    while True:
+        page = topk_sorted(q, index, fields, sort=[("nlen", "desc")],
+                           after=after)
+        rows = page.orderBy("rank").collect()
+        if not rows:
+            break
+        got.extend((r["doc_id"], r["nlen"]) for r in rows)
+        last = rows[-1]
+        after = (last["nlen"], last["doc_id"])
+        pages += 1
+        assert pages < 200
+    assert got == want
+    # multi-key spec incl. the score pseudo-field also cursors
+    s2 = [("nlen", "asc"), ("score", "desc")]
+    p1 = topk_sorted(q, index, fields, sort=s2).orderBy("rank").collect()
+    last = p1[-1]
+    after2 = (last["nlen"], round(last["score"], 6), last["doc_id"])
+    p2 = topk_sorted(q, index, fields, sort=s2, after=after2) \
+        .orderBy("rank").collect()
+    fullseq = topk_sorted(q.withColumn("k", F.lit(10_000)), index,
+                          fields, sort=s2).orderBy("rank").collect()
+    assert [(r["doc_id"]) for r in p2] == \
+        [(r["doc_id"]) for r in fullseq[len(p1):len(p1) + 6]]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        topk_sorted(q, index, fields, sort=s2, after=(1, 2))
