@@ -321,12 +321,37 @@ def group_topk(queries: DataFrame, index: InvertedIndex,
 
 
 def search_with_fields(queries: DataFrame, index: InvertedIndex,
-                       docs: DataFrame, fl: list[str]) -> DataFrame:
+                       docs: DataFrame, fl: list[str],
+                       hl_field: str | None = None,
+                       hl_window: int = 3) -> DataFrame:
     """Top-k joined back to stored fields — the reference's ``fl``
     projection (solrindexer/search.py:46-61, J4 in SURVEY §2.3).
-    The top-k side is tiny → broadcast it against the doc table."""
+    The top-k side is tiny → broadcast it against the doc table.
+
+    ``hl_field``: Solr ``hl=true&hl.fl=<field>`` — adds an ``hl``
+    snippet column (functions/highlight.py) built from each query's
+    OWN analyzed terms: the hits frame carries query_id, so the
+    snippet expression dispatches per query with a literal CASE
+    (planning-sized — one branch per query in the batch)."""
     hits = topk(queries, index)
     cols = [F.col(c) for c in fl]
-    return (docs.join(F.broadcast(hits), index.id_col)
-            .select("query_id", "rank", "score", index.id_col, *cols)
-            .orderBy("query_id", "rank"))
+    out = (docs.join(F.broadcast(hits), index.id_col)
+           .select("query_id", "rank", "score", index.id_col,
+                   *([F.col(hl_field)] if hl_field
+                     and hl_field not in fl else []), *cols))
+    if hl_field is not None:
+        from ..analysis import tokenize_py
+        from ..functions.highlight import highlight_col
+        qrows = queries.select("query_id", "query_text").collect()
+        hl = F.lit(None).cast("string")
+        for r in qrows:
+            terms = sorted(set(tokenize_py(r["query_text"])))
+            if not terms:
+                continue
+            hl = F.when(F.col("query_id") == int(r["query_id"]),
+                        highlight_col(hl_field, terms,
+                                      window=hl_window)).otherwise(hl)
+        out = out.withColumn("hl", hl)
+        if hl_field not in fl:
+            out = out.drop(hl_field)
+    return out.orderBy("query_id", "rank")

@@ -359,3 +359,19 @@ def test_spellcheck_corrections(index):
     # case-insensitive input (analysis contract)
     up = spellcheck(index, "TERM000X", max_edits=1, count=5).collect()
     assert [r["term"] for r in up] == [r["term"] for r in out]
+
+
+def test_search_with_fields_highlighting(spark, docs, index):
+    from solr_indexer_spark.query.scorer import search_with_fields
+    q = spark.createDataFrame(
+        [(1, "term0000", 5), (2, "term0101", 5), (3, "zzzabsent", 5)],
+        "query_id int, query_text string, k int")
+    out = search_with_fields(q, index, docs, fl=["url"],
+                             hl_field="text").collect()
+    assert out and "hl" in out[0].asDict()
+    for r in out:
+        term = {1: "term0000", 2: "term0101"}[r["query_id"]]
+        assert f"<em>{term}</em>" in r["hl"]   # per-query terms
+    # fl-only call unchanged (no hl column)
+    plain = search_with_fields(q, index, docs, fl=["url"])
+    assert "hl" not in plain.columns
