@@ -214,3 +214,27 @@ def test_sorted_cursor_walk(spark, docs, index):
     import pytest as _pt
     with _pt.raises(ValueError):
         topk_sorted(q, index, fields, sort=s2, after=(1, 2))
+
+
+def test_wand_cursor_walk(spark, bindex, qdf):
+    """Cursor walk on the SERVING engine (block-max index): k=40 pages
+    of a multi-term query reassemble the exact deep ranking (page size
+    keeps the walk to a handful of Spark jobs — the exhaustive
+    small-page walk runs on the exact engine above)."""
+    q = qdf.filter(F.col("query_id") == 2).withColumn("k", F.lit(40))
+    full = topk_wand(q.withColumn("k", F.lit(10_000)), bindex)
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            full.orderBy("rank").collect()]
+    got, after, pages = [], None, 0
+    while True:
+        page = topk_wand(q, bindex, after=after,
+                         theta_min_postings=0)
+        rows = page.orderBy("rank").collect()
+        if not rows:
+            break
+        got.extend((r["doc_id"], round(r["score"], 6)) for r in rows)
+        after = decode_cursors(page_cursors(page))
+        pages += 1
+        assert pages < 100
+    assert got == want
+    assert pages == -(-len(want) // 40)
