@@ -183,13 +183,22 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
     the unbounded exact-oracle semantics the gates pin."""
     r = n_hashes // bands
     sigs = minhash_signature(docs, id_col, n_hashes, shingle_n)
+    # Materialize the banded signatures ONCE (the dedup_clusters
+    # localCheckpoint pattern). Without it the signature pipeline
+    # (shingle explode → md5 → 16-way min aggregate) is a common
+    # subtree of FOUR consumers — the bucket-size aggregate, the
+    # anti-join probe side and both self-join inputs — and the planner
+    # re-evaluates it for each (the broadcast build side of the
+    # self-join cannot share an Exchange, so no reuse fires: measured
+    # 28 Exchanges / 0 reused at sf0.1). One checkpoint = one
+    # signature pass regardless of how many consumers read it.
     band_rows = sigs.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
                      F.concat_ws("_", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string")
                                         for j in range(r)]).alias("key"))
-            for bi in range(bands)])).alias("bk"))
+            for bi in range(bands)])).alias("bk")).localCheckpoint()
     if max_bucket is not None:
         sizes = (band_rows
                  .groupBy(F.col("bk.band").alias("_b"),
@@ -297,9 +306,13 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id",
         return F.shiftright(F.col(src), off) \
             .bitwiseAND(F.lit((1 << width) - 1))
 
+    # one materialization of the fingerprints+bands (the 64-aggregate
+    # SimHash groupBy is the expensive subtree) — both self-join sides
+    # read the checkpoint instead of re-deriving it (see
+    # dedup_minhash_lsh)
     bands = fps.select("id", "fp", F.explode(F.array(*[
         F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
-        for bi in range(n_bands)])).alias("bk"))
+        for bi in range(n_bands)])).alias("bk")).localCheckpoint()
     cands = (bands.alias("x").join(
         bands.alias("y"),
         (F.col("x.bk.band") == F.col("y.bk.band")) &

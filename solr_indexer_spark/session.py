@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce strictly by size (guide §2.2): with parallelismFirst
+        # (the default) AQE refuses to merge below the default
+        # parallelism, so a kilobyte-sized shuffle still schedules
+        # shuffle_partitions tasks — pure per-task overhead on every
+        # exchange. Respecting the advisory size is Spark's own
+        # recommendation; at production scale partitions exceed the
+        # advisory size and nothing over-coalesces. Both knobs are
+        # env-overridable for cluster deployments.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
