@@ -38,13 +38,20 @@ def main(argv=None) -> int:
     ap.add_argument("--cursor", default=None,
                     help="cursorMark deep paging: '*' or a mark printed "
                          "by a previous run (mutually exclusive with "
-                         "--start; applies to every --query)")
+                         "--start; requires exactly one --query — marks "
+                         "are query-specific)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--lucene", action="store_true",
                     help="boolean query-string engine (qtree) per query")
     args = ap.parse_args(argv)
     after_tup = None
     if args.cursor is not None:
+        if len(args.query) != 1:
+            # a cursor mark encodes ONE query's rank position; applying
+            # it to other queries silently skips their true head rows
+            # (ADVICE r6)
+            ap.error("--cursor requires exactly one --query "
+                     "(cursor marks are query-specific)")
         from solr_indexer_spark.query.cursor import decode_cursor
         after_tup = decode_cursor(args.cursor)
 

@@ -65,6 +65,25 @@ class Manifest:
                 if (e.status == "done" and e.positions)
                 or e.status == "positions"}
 
+    def positions_unknown_partitions(self) -> set[int]:
+        """Shards whose 'done' line PREDATES the ``positions`` field
+        (legacy writers): their positional state is UNRECORDED, not
+        known-missing — loaders probe the store directory for these
+        instead of failing (ADVICE r6: a fully-committed pre-upgrade
+        positional store must stay loadable)."""
+        out: set[int] = set()
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                if d.get("status") == "done" and "positions" not in d:
+                    out.add(int(d["partition_id"]))
+        return out
+
     def commit(self, new_entries: list[PartitionCheckpoint]) -> None:
         """Atomic append: write full content to temp file, rename over."""
         existing = []

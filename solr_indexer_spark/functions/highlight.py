@@ -49,3 +49,31 @@ def highlight_col(text_col, terms: list[str], pre: str = "<em>",
                          F.concat(F.lit(pre), t, F.lit(post)))
         .otherwise(t))
     return F.when(first.isNotNull(), F.array_join(wrapped, " "))
+
+
+def highlight_terms_col(text_col, terms_col: Column, pre: str = "<em>",
+                        post: str = "</em>", window: int = 3) -> Column:
+    """Array-column variant of :func:`highlight_col`: ``terms_col`` is
+    an ``array<string>`` of analyzed terms carried ON THE ROW (joined
+    in per query_id). The batched-serving shape: a large query batch
+    drives ONE expression off the array column instead of a per-query
+    literal CASE branch — the Q-branch CaseWhen would blow Janino's
+    64KB method limit exactly like the cursor path it mirrors
+    (query/cursor.py). NULL or empty terms → NULL snippet, identical
+    to the literal form's missing-terms behavior."""
+    toks = tokenize_col(text_col)
+    first = F.array_min(F.filter(
+        F.transform(terms_col,
+                    lambda t: F.nullif(F.array_position(toks, t),
+                                       F.lit(0))),
+        lambda c: c.isNotNull()))
+    start = F.greatest(F.lit(1), first - F.lit(window))
+    end = F.least(F.size(toks).cast("long"), first + F.lit(window))
+    frag = F.slice(toks, start.cast("int"),
+                   (end - start + F.lit(1)).cast("int"))
+    wrapped = F.transform(
+        frag,
+        lambda t: F.when(F.array_contains(terms_col, t),
+                         F.concat(F.lit(pre), t, F.lit(post)))
+        .otherwise(t))
+    return F.when(first.isNotNull(), F.array_join(wrapped, " "))

@@ -107,7 +107,15 @@ def persist_index(index: InvertedIndex, base_dir: str,
          .sortWithinPartitions("term", index.id_col))
     p.write.mode("overwrite").partitionBy("bucket").parquet(f"{base_dir}/postings")
     index.doc_stats.write.mode("overwrite").parquet(f"{base_dir}/doc_stats")
-    index.term_stats.write.mode("overwrite").parquet(f"{base_dir}/term_stats")
+    # term_stats persists with a stored term-length column, rows
+    # clustered by it: the spellcheck length window (|len(t)−len(q)| ≤
+    # max_edits) becomes a plain range predicate on ``tlen`` that
+    # parquet min/max row-group stats can prune — without it every
+    # spellcheck call scans the whole dictionary (VERDICT r6 #2, the
+    # ``tbucket`` trick applied to the length axis)
+    (index.term_stats.withColumn("tlen", F.length("term"))
+     .sortWithinPartitions("tlen", "term")
+     .write.mode("overwrite").parquet(f"{base_dir}/term_stats"))
     index.corpus_stats.write.mode("overwrite").parquet(f"{base_dir}/corpus_stats")
 
 

@@ -192,6 +192,15 @@ class ResumableIndexBuild:
             # the build with positions=True to backfill.
             missing = sorted(set(done) - self.manifest.positions_partitions())
             if missing:
+                # legacy manifest lines predate the positions field
+                # (ADVICE r6): for those shards the flag is unrecorded,
+                # not false — accept them when their shard=<id>
+                # directory exists in the store
+                legacy = self.manifest.positions_unknown_partitions()
+                missing = [s for s in missing
+                           if not (s in legacy and os.path.isdir(
+                               os.path.join(d, f"shard={int(s)}")))]
+            if missing:
                 raise ValueError(
                     f"positional store missing for done shards {missing}; "
                     "re-run the build with positions=True to backfill "

@@ -601,7 +601,11 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
             weights: dict[str, float] = {}
             for t, w in positive_weighted_terms(tree):
                 weights[t] = weights.get(t, 0.0) + float(w)
-            excl = tombstones
+            # topk_wand's exclusion lane is keyed "doc_id"; an index
+            # with a different id column would otherwise throw (or
+            # mis-join past a stray doc_id column) — ADVICE r6
+            excl = None if tombstones is None else \
+                tombstones.select(F.col(id_col).alias("doc_id"))
             if not_terms:
                 # MUST_NOT terms ride the deleted-docs lane: docs
                 # carrying any prohibited term are anti-joined out of
@@ -609,8 +613,7 @@ def search_tree(q: str, docs: DataFrame, index, k: int = 10,
                 # real tombstones when both exist) — Lucene's
                 # ReqExclScorer semantics on the WAND path
                 nd = docs_containing(bindex, not_terms)
-                excl = nd if excl is None else \
-                    tombstones.select("doc_id").unionByName(nd)
+                excl = nd if excl is None else excl.unionByName(nd)
             qdf = spark.createDataFrame(
                 [(0, q, int(k))], "query_id int, query_text string, k int")
             extra = {} if theta_min_postings is None else {

@@ -22,19 +22,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this many hit rows the AUTO percentile mode (exact=None)
+# switches from the exact interpolated percentile (per-partition value
+# buffers) to percentile_approx (t-digest, bounded memory) — the
+# scale-safe choice is no longer caller discipline (VERDICT r6 #4).
+EXACT_PERCENTILE_MAX_HITS = 1_000_000
+
+
 def field_stats(hits: DataFrame, docs: DataFrame, field: str,
                 id_col: str = "doc_id",
                 percentiles: tuple = (0.25, 0.5, 0.75, 0.9),
-                exact: bool = True) -> DataFrame:
+                exact: bool | None = None) -> DataFrame:
     """Long-format stats rows ``(stat string, val double)`` for
     ``field`` over the docs in ``hits`` (any frame carrying the id
     column — a top-k page or a full match set).
 
+    ``exact``: True forces the exact interpolated percentile, False
+    forces the t-digest ``percentile_approx``; the default ``None``
+    counts the hits once and picks exact below
+    ``EXACT_PERCENTILE_MAX_HITS`` (a top-k page — the common case, and
+    every testdata gate) and approx above it (a 100 TB match set,
+    where an exact percentile's per-partition value buffer is the one
+    unbounded allocation in this module).
+
     The hits side is the small one by construction (a result set) —
     broadcast it against the doc table so the field scan stays
     pipelined and only matched rows aggregate."""
+    forced_broadcast = True
+    if exact is None:
+        n_hits = hits.count()
+        exact = n_hits <= EXACT_PERCENTILE_MAX_HITS
+        # a hit set past the exact-percentile bar is also past any
+        # sane broadcast size — leave the join strategy to AQE there
+        forced_broadcast = exact
+    ids = hits.select(id_col).distinct()
     joined = (docs.select(id_col, field)
-              .join(F.broadcast(hits.select(id_col).distinct()), id_col))
+              .join(F.broadcast(ids) if forced_broadcast else ids,
+                    id_col))
     c = F.col(field).cast("double")
     pct_fn = F.percentile if exact else F.percentile_approx
     aggs = [

@@ -36,7 +36,15 @@ def spellcheck(index, term: str, max_edits: int = 2,
     top-count cut is a TakeOrderedAndProject."""
     from pyspark.sql import Window
     t = term.lower()
-    cand = (index.term_stats
+    ts = index.term_stats
+    if "tlen" in ts.columns:
+        # persisted dictionaries carry a stored term-length column
+        # (persist_index clusters rows by it): a BETWEEN on the plain
+        # column pushes into the parquet scan and prunes row groups —
+        # the computed |length(term)−n| expression below cannot
+        ts = ts.filter(F.col("tlen").between(len(t) - max_edits,
+                                             len(t) + max_edits))
+    cand = (ts
             .filter(F.abs(F.length("term") - F.lit(len(t)))
                     <= F.lit(max_edits))
             .filter(F.col("term") != t)

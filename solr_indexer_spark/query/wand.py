@@ -183,9 +183,15 @@ def docs_containing(bindex: BlockIndex, terms) -> DataFrame:
     the same bound Lucene's exclusion iterator pays."""
     from ..index.codec import decode_stream
     spark = bindex.blocks.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
-                                "term string")
-    blk = bindex.blocks.join(F.broadcast(tdf), "term").select("docs")
+    tset = sorted(set(terms))
+    if len(tset) <= MAX_LITERAL_QTERMS:
+        # literal IN filter: no local frame, no broadcast build job,
+        # and the predicate pushes into a persisted blocks scan
+        blk = bindex.blocks.filter(F.col("term").isin(tset)) \
+            .select("docs")
+    else:
+        tdf = spark.createDataFrame([(t,) for t in tset], "term string")
+        blk = bindex.blocks.join(F.broadcast(tdf), "term").select("docs")
 
     def ids_map(it):
         for pdf in it:
@@ -279,6 +285,53 @@ class ThetaCache:
 # safety valve / A-B switch for the batched fused rank (tests and the
 # bench A/B monkeypatch this; True is the production default)
 FUSED_BATCHED = True
+
+# Literal-inline ceiling for per-query term frames (the cursor.py ≤16
+# discipline): small (query, term) sets become a literal term→weights
+# map + explode instead of a createDataFrame + broadcast join — two
+# fewer driver roundtrips and one fewer broadcast-build job per query,
+# and the term predicate becomes a scan-pushable IN filter. Larger
+# batches keep the broadcast join (a Q·T-entry literal map would bloat
+# codegen exactly like the Q-branch CASE cursor.py capped).
+MAX_LITERAL_QTERMS = 16
+
+
+def _attach_qterms(blocks: DataFrame, rows: list, spark,
+                   with_slack: bool = False) -> DataFrame:
+    """Attach per-(query, term) planning columns (query_id, w[, slack])
+    to the matching ``blocks`` rows. ≤MAX_LITERAL_QTERMS rows inline as
+    literals; larger sets broadcast-join a local frame. Both shapes
+    produce the same (block × matching query-term) rows."""
+    if len(rows) > MAX_LITERAL_QTERMS:
+        schema = "query_id int, term string, w double"
+        if with_slack:
+            schema += ", slack double"
+        qt = spark.createDataFrame(rows, schema)
+        return blocks.join(F.broadcast(qt), "term")
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r[1], []).append(r)
+    entries = []
+    for term in sorted(by_term):
+        structs = []
+        for r in by_term[term]:
+            fields = [F.lit(int(r[0])).alias("query_id"),
+                      F.lit(float(r[2])).alias("w")]
+            if with_slack:
+                s = r[3]
+                fields.append(
+                    (F.lit(None).cast("double") if s is None
+                     else F.lit(float(s))).alias("slack"))
+            structs.append(F.struct(*fields))
+        entries += [F.lit(term), F.array(*structs)]
+    m = F.create_map(*entries)
+    out = (blocks.filter(F.col("term").isin(sorted(by_term)))
+           .withColumn("_qw", F.explode(m[F.col("term")]))
+           .withColumn("query_id", F.col("_qw.query_id"))
+           .withColumn("w", F.col("_qw.w")))
+    if with_slack:
+        out = out.withColumn("slack", F.col("_qw.slack"))
+    return out.drop("_qw")
 
 
 def _heap_partials(df: pd.DataFrame, depth_by_qid: dict):
@@ -549,9 +602,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         if counts:
             specs.append((qid, counts,
                           int(r["k"]) if r["k"] is not None else default_k))
-    empty = spark.createDataFrame([], _OUT_SCHEMA)
     if not specs:
-        return empty
+        return spark.createDataFrame([], _OUT_SCHEMA)
 
     # planning lookup: full driver pin (0 jobs) > bounded LRU (0 jobs
     # warm, one pruned job per cold miss — the 10⁸+-term path, VERDICT
@@ -574,15 +626,11 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         champion = max(sorted(t_ub), key=lambda t: t_ub[t])
         plans.append((qid, k, w, champion, sum(t_ub.values()), t_ub))
     if not plans:
-        return empty
+        return spark.createDataFrame([], _OUT_SCHEMA)
 
     k_map = {qid: k for qid, k, *_ in plans}
     thash = {qid: terms_hash(c) for qid, c, _ in specs}
     avgdl = bindex.avgdl
-
-    def qterms_df(rows):
-        return spark.createDataFrame(
-            rows, "query_id int, term string, w double")
 
     def postings_volume(plan):
         return sum(int(meta[t]["df"]) for t in plan[2])
@@ -634,12 +682,12 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
     # (a (term, doc) pair lives in exactly one block, so the per-doc
     # partial-row count IS the matched-term count).
     if conj:
-        conj_qt = qterms_df([(qid, t, wt) for qid, _, w, *_ in conj
-                             for t, wt in w.items()])
         nt = spark.createDataFrame(
             [(qid, len(w)) for qid, _, w, *_ in conj],
             "query_id int, n_terms int")
-        cblk = bindex.blocks.join(F.broadcast(conj_qt), "term")
+        cblk = _attach_qterms(bindex.blocks,
+                              [(qid, t, wt) for qid, _, w, *_ in conj
+                               for t, wt in w.items()], spark)
         surv_shards = (cblk.select("query_id", "shard", "term")
                        .groupBy("query_id", "shard")
                        .agg(F.count_distinct("term").alias("_nt"))
@@ -690,13 +738,13 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         # raw score rounds into a tie with θ_c can sit a full grid step
         # below it and still win the doc_id tie-break — never prune it
         conj_eps = 10.0 ** (-SCORE_DECIMALS)
-        hqt = qterms_df([(qid, t, wt) for qid, _, w, *_ in conj_big
-                         for t, wt in w.items()])
         hnt = spark.createDataFrame(
             [(qid, len(w), 3 * (k + start)) for qid, k, w, *_ in conj_big],
             "query_id int, n_terms int, seed_cap long")
-        hblk = (bindex.blocks.join(F.broadcast(hqt), "term")
-                .withColumn("avgdl", F.lit(avgdl)))
+        hblk = _attach_qterms(bindex.blocks,
+                              [(qid, t, wt) for qid, _, w, *_ in conj_big
+                               for t, wt in w.items()], spark) \
+            .withColumn("avgdl", F.lit(avgdl))
         # per-block conjunctive-score bound under the CURRENT avgdl
         # (drift-safe (max_tf, min_dl) form, same as pass B)
         bb = (F.col("w") * F.col("max_tf")
@@ -762,6 +810,17 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                      .withColumn("prior_cap",
                                  F.col("_off") + F.col("_intra"))
                      .drop("_pid", "_intra", "_off"))
+        # One materialized snapshot (ADVICE r6, medium): the seed
+        # filter, the rest filter and the θ window each trigger their
+        # own job over `stats`; in the two-level branch `_pid` comes
+        # from spark_partition_id() over a SAMPLED repartitionByRange,
+        # so independent re-evaluations can draw different range
+        # boundaries and the complementary prior_cap filters could
+        # disagree — a shard excluded from BOTH passes silently drops
+        # true top-k matches. Checkpointing pins one evaluation for
+        # every consumer (and saves the recompute in the window branch
+        # too; stats is ≤ survivor-shards·Q narrow rows).
+        stats = stats.localCheckpoint()
 
         def conj_scored(blocks):
             p = blocks.select("query_id", "w", "docs", "tfs", "dls",
@@ -855,10 +914,10 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                    "shard"]
 
     if unpruned:
-        qt = qterms_df([(qid, t, wt) for qid, _, w, *_ in unpruned
-                        for t, wt in w.items()])
-        blk = (bindex.blocks.join(F.broadcast(qt), "term")
-               .withColumn("avgdl", F.lit(avgdl)))
+        blk = _attach_qterms(bindex.blocks,
+                             [(qid, t, wt) for qid, _, w, *_ in unpruned
+                              for t, wt in w.items()], spark) \
+            .withColumn("avgdl", F.lit(avgdl))
         if debug_block_counts is not None:
             debug_block_counts["unpruned_blocks"] = blk.count()
         if use_fused:
@@ -937,10 +996,11 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
 
         fresh = [p for p in multi if p[0] not in carried_qids]
         if fresh:
-            champ_qt = qterms_df([(qid, champ, w[champ])
-                                  for qid, _, w, champ, _, _ in fresh])
-            cblk = (bindex.blocks.join(F.broadcast(champ_qt), "term")
-                    .withColumn("avgdl", F.lit(avgdl)))
+            cblk = _attach_qterms(bindex.blocks,
+                                  [(qid, champ, w[champ])
+                                   for qid, _, w, champ, _, _ in fresh],
+                                  spark) \
+                .withColumn("avgdl", F.lit(avgdl))
             acc = None
             if debug_block_counts is not None:
                 debug_block_counts["passA_blocks"] = cblk.count()
@@ -1010,8 +1070,6 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
                 slack = (th - (total_ub - t_ub[t])) if th is not None else None
                 qt_rows.append((qid, t, wt,
                                 float(slack) if slack is not None else None))
-        qt = spark.createDataFrame(
-            qt_rows, "query_id int, term string, w double, slack double")
         from .. import B, K1
         # block bound from (max_tf, min_dl) with the CURRENT avgdl —
         # valid under corpus-stat drift (streaming appends), unlike the
@@ -1019,7 +1077,8 @@ def topk_wand(queries: DataFrame, bindex: BlockIndex,
         block_bound = (F.col("max_tf") /
                        (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl")
                                                 / F.lit(avgdl))))
-        blk = (bindex.blocks.join(F.broadcast(qt), "term")
+        blk = (_attach_qterms(bindex.blocks, qt_rows, spark,
+                              with_slack=True)
                .filter(F.col("slack").isNull() |
                        (F.col("w") * block_bound >= F.col("slack")))
                .withColumn("avgdl", F.lit(avgdl)))
