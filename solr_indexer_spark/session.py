@@ -50,18 +50,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce strictly by size (guide §2.2): with parallelismFirst
-        # (the default) AQE refuses to merge below the default
-        # parallelism, so a kilobyte-sized shuffle still schedules
-        # shuffle_partitions tasks — pure per-task overhead on every
-        # exchange. Respecting the advisory size is Spark's own
-        # recommendation; at production scale partitions exceed the
-        # advisory size and nothing over-coalesces. Both knobs are
-        # env-overridable for cluster deployments.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"))
+        # parallelismFirst deliberately stays at Spark's default
+        # (true). r7 A/B: forcing size-based coalescing
+        # (parallelismFirst=false, 64m advisory) coalesced the
+        # CPU-heavy Arrow encode stage to 1-2 tasks at 10x volume and
+        # regressed index_build 9s → 12s, while the tiny-shuffle
+        # savings it promised were within host noise — bytes-based
+        # advisory sizes misprice stages whose cost is per-row Python
+        # compute, not I/O. Override per deployment via extra_conf.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
